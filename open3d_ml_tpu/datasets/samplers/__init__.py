@@ -1,0 +1,6 @@
+"""Cloud/point sampling policies for semantic segmentation."""
+
+from .semseg_random import SemSegRandomSampler
+from .semseg_spatially_regular import SemSegSpatiallyRegularSampler
+
+__all__ = ["SemSegRandomSampler", "SemSegSpatiallyRegularSampler"]

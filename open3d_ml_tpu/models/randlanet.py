@@ -1,0 +1,423 @@
+"""RandLA-Net for semantic segmentation, TPU-native.
+
+Rebuild of /root/reference/ml3d/torch/models/randlanet.py:17-692 (paper:
+arXiv:1911.11236). Same architecture — fc0+BN, 4 LocalFeatureAggregation
+encoder stages with random 4x subsampling, shared MLP bottleneck, 4 decoder
+stages with nearest-neighbor upsampling and skip concat, 3-layer head — but
+re-designed for XLA:
+
+* The per-layer KNN/pool/upsample index pyramid, which the reference computes
+  on the host inside DataLoader workers (randlanet.py:215-232), is computed
+  **on device inside the jitted step** from the (host-shuffled) coords via
+  MXU-friendly brute-force KNN. Static patch size (num_points) makes every
+  level's shape static. Set ``knn_on_device=False`` to precompute on host.
+* Layout is channels-last [B, N, C] Dense/matmul instead of torch's
+  (B, C, N, 1) 1x1-conv trick; BatchNorm follows torch semantics
+  (momentum 0.01, eps 1e-6) for checkpoint parity.
+"""
+
+import numpy as np
+from scipy.spatial import cKDTree
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..datasets.augment import SemsegAugmentation
+from ..datasets.utils import DataProcessing
+from ..modules.losses import filter_valid_label
+from ..ops.neighbors import build_knn_pyramid
+from ..utils import MODEL
+from .base_model import BaseModel
+
+
+def gather_neighbors(feat, idx):
+    """feat [N, C], idx [M, K] -> [M, K, C]."""
+    return feat[idx]
+
+
+class SharedMLP(nn.Module):
+    """Dense + BatchNorm + LeakyReLU over the channel axis.
+
+    Equivalent of the reference SharedMLP (randlanet.py:471-517): a 1x1 conv
+    over (B, C, N, 1) is a Dense over channels-last.
+    """
+    out_dim: int
+    bn: bool = True
+    slope: float | None = 0.2  # LeakyReLU negative slope; None = linear
+
+    @nn.compact
+    def __call__(self, x, training=False):
+        x = nn.Dense(self.out_dim, name="conv")(x)
+        if self.bn:
+            # axis_name="batch": stats are averaged across the vmapped batch
+            # axis (BatchedNet), matching torch BN over (B, N).
+            x = nn.BatchNorm(use_running_average=not training,
+                             momentum=0.99, epsilon=1e-6, axis_name="batch",
+                             name="batch_norm")(x)
+        if self.slope is not None:
+            x = nn.leaky_relu(x, negative_slope=self.slope)
+        return x
+
+
+class LocalSpatialEncoding(nn.Module):
+    """K-neighbor encoding: relative position features + gathered neighbor
+    features (reference randlanet.py:521-605)."""
+    out_dim: int  # d_out//2 of the enclosing LFA
+    encode_pos: bool = False
+
+    @nn.compact
+    def __call__(self, coords, feat, neighbor_idx, relative_features=None,
+                 training=False):
+        """coords [N,3], feat [N,d], neighbor_idx [N,K] (single sample;
+        batching via vmap in the top-level net)."""
+        if self.encode_pos:
+            nbr_coords = gather_neighbors(coords, neighbor_idx)  # [N,K,3]
+            ext_coords = coords[:, None, :]  # [N,1,3]
+            rel_pos = ext_coords - nbr_coords  # [N,K,3]
+            # +eps: the self-neighbor has distance exactly 0 and sqrt'(0)
+            # would inject NaN into the gradient.
+            rel_dist = jnp.sqrt(
+                jnp.sum(rel_pos * rel_pos, axis=-1, keepdims=True) + 1e-12)
+            relative_features = jnp.concatenate([
+                rel_dist, rel_pos,
+                jnp.broadcast_to(ext_coords, nbr_coords.shape), nbr_coords
+            ], axis=-1)  # [N,K,10]
+        elif relative_features is None:
+            raise ValueError("LSE second pass needs relative_features")
+
+        relative_features = SharedMLP(self.out_dim, name="mlp")(
+            relative_features, training=training)
+        nbr_feat = gather_neighbors(feat, neighbor_idx)  # [N,K,d]
+        return (jnp.concatenate([nbr_feat, relative_features], axis=-1),
+                relative_features)
+
+
+class AttentivePooling(nn.Module):
+    """Attention-weighted sum over the K axis (reference :608-640)."""
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x, training=False):
+        """x [N, K, d_in] -> [N, d_out]."""
+        scores = nn.Dense(self.in_dim, name="score_fn")(x)
+        scores = jax.nn.softmax(scores, axis=-2)
+        pooled = jnp.sum(scores * x, axis=-2)  # [N, d_in]
+        return SharedMLP(self.out_dim, name="mlp")(pooled, training=training)
+
+
+class LocalFeatureAggregation(nn.Module):
+    """Dilated residual block: 2x (LSE -> AttentivePooling) + shortcut
+    (reference :642-692)."""
+    d_out: int
+
+    @nn.compact
+    def __call__(self, coords, feat, neighbor_idx, training=False):
+        """coords [N,3], feat [N,d_in] -> [N, 2*d_out]."""
+        d = self.d_out
+        x = SharedMLP(d // 2, name="mlp1")(feat, training=training)
+        x, rel = LocalSpatialEncoding(d // 2, encode_pos=True, name="lse1")(
+            coords, x, neighbor_idx, training=training)
+        x = AttentivePooling(d, d // 2, name="pool1")(x, training=training)
+        x, _ = LocalSpatialEncoding(d // 2, name="lse2")(
+            coords, x, neighbor_idx, relative_features=rel,
+            training=training)
+        x = AttentivePooling(d, d, name="pool2")(x, training=training)
+        x = SharedMLP(2 * d, slope=None, name="mlp2")(x, training=training)
+        shortcut = SharedMLP(2 * d, slope=None, name="shortcut")(
+            feat, training=training)
+        # reference uses default-torch LeakyReLU slope 0.01 here (:692)
+        return nn.leaky_relu(x + shortcut, negative_slope=0.01)
+
+
+class RandLANetNet(nn.Module):
+    """The RandLA-Net network as a flax module over ONE sample.
+
+    Batch handling is vmap at the top (see RandLANet.get_net's Batched
+    wrapper) so gathers stay simple advanced indexing.
+    """
+    num_neighbors: int
+    num_layers: int
+    num_classes: int
+    dim_features: int
+    dim_output: tuple
+    sub_sampling_ratio: tuple
+    knn_on_device: bool = True
+    knn_exact: bool = True
+
+    @nn.compact
+    def __call__(self, inputs, training=False):
+        cfg_dims = list(self.dim_output)
+        feat = inputs["features"]  # [N, in_ch]
+
+        if self.knn_on_device:
+            pyramid = build_knn_pyramid(
+                inputs["coords"], self.num_neighbors,
+                list(self.sub_sampling_ratio))
+        else:
+            pyramid = {
+                "coords": inputs["coords_pyramid"],
+                "neighbor_indices": inputs["neighbor_indices"],
+                "sub_idx": inputs["sub_idx"],
+                "interp_idx": inputs["interp_idx"],
+            }
+
+        feat = nn.Dense(self.dim_features, name="fc0")(feat)
+        feat = nn.BatchNorm(use_running_average=not training, momentum=0.99,
+                            epsilon=1e-6, axis_name="batch",
+                            name="bn0")(feat)
+        feat = nn.leaky_relu(feat, negative_slope=0.2)
+
+        # Encoder
+        encoder_feats = []
+        dim_feature = self.dim_features
+        for i in range(self.num_layers):
+            feat_enc = LocalFeatureAggregation(
+                cfg_dims[i], name=f"encoder_{i}")(
+                    pyramid["coords"][i], feat,
+                    pyramid["neighbor_indices"][i], training=training)
+            # random subsample: gather pool neighbors and max over K
+            pool_idx = pyramid["sub_idx"][i]  # [N_sub, K]
+            feat_sampled = jnp.max(gather_neighbors(feat_enc, pool_idx),
+                                   axis=-2)  # [N_sub, 2*d_out]
+            if i == 0:
+                encoder_feats.append(feat_enc)
+            encoder_feats.append(feat_sampled)
+            feat = feat_sampled
+            dim_feature = 2 * cfg_dims[i]
+
+        feat = SharedMLP(dim_feature, name="mlp")(feat, training=training)
+
+        # Decoder
+        for i in range(self.num_layers):
+            up_idx = pyramid["interp_idx"][-i - 1][:, 0]  # [N_up]
+            feat_interp = feat[up_idx]  # nearest-neighbor upsample
+            feat = jnp.concatenate([encoder_feats[-i - 2], feat_interp],
+                                   axis=-1)
+            feat = SharedMLP(encoder_feats[-i - 2].shape[-1],
+                             name=f"decoder_{i}")(feat, training=training)
+
+        feat = SharedMLP(64, name="fc1_0")(feat, training=training)
+        feat = SharedMLP(32, name="fc1_1")(feat, training=training)
+        feat = nn.Dropout(0.5, deterministic=not training)(feat)
+        scores = SharedMLP(self.num_classes, bn=False, slope=None,
+                           name="fc1_3")(feat, training=training)
+        return scores  # [N, num_classes]
+
+
+class BatchedNet(nn.Module):
+    """vmap wrapper: maps a single-sample net over the leading batch axis,
+    broadcasting params and sharing batch statistics."""
+    net: nn.Module
+
+    @nn.compact
+    def __call__(self, inputs, training=False):
+        vnet = nn.vmap(
+            lambda mdl, x: mdl(x, training=training),
+            variable_axes={"params": None, "batch_stats": None},
+            split_rngs={"params": False, "dropout": True},
+            in_axes=(0,),
+            out_axes=0,
+            axis_name="batch")
+        return vnet(self.net, inputs)
+
+
+class RandLANet(BaseModel):
+    """RandLA-Net model: host pipeline + flax net + loss/optimizer wiring."""
+
+    def __init__(self,
+                 name="RandLANet",
+                 num_neighbors=16,
+                 num_layers=4,
+                 num_points=4096 * 11,
+                 num_classes=19,
+                 ignored_label_inds=[0],
+                 sub_sampling_ratio=[4, 4, 4, 4],
+                 in_channels=3,
+                 dim_features=8,
+                 dim_output=[16, 64, 128, 256],
+                 grid_size=0.06,
+                 batcher="DefaultBatcher",
+                 ckpt_path=None,
+                 knn_on_device=True,
+                 knn_exact=True,
+                 augment={},
+                 **kwargs):
+        super().__init__(name=name,
+                         num_neighbors=num_neighbors,
+                         num_layers=num_layers,
+                         num_points=num_points,
+                         num_classes=num_classes,
+                         ignored_label_inds=ignored_label_inds,
+                         sub_sampling_ratio=sub_sampling_ratio,
+                         in_channels=in_channels,
+                         dim_features=dim_features,
+                         dim_output=dim_output,
+                         grid_size=grid_size,
+                         batcher=batcher,
+                         ckpt_path=ckpt_path,
+                         knn_on_device=knn_on_device,
+                         knn_exact=knn_exact,
+                         augment=augment,
+                         **kwargs)
+        self.augmenter = SemsegAugmentation(self.cfg.augment, seed=self.rng)
+
+    def get_net(self):
+        cfg = self.cfg
+        single = RandLANetNet(
+            num_neighbors=cfg.num_neighbors,
+            num_layers=cfg.num_layers,
+            num_classes=cfg.num_classes,
+            dim_features=cfg.dim_features,
+            dim_output=tuple(cfg.dim_output),
+            sub_sampling_ratio=tuple(cfg.sub_sampling_ratio),
+            knn_on_device=cfg.knn_on_device,
+            knn_exact=cfg.knn_exact)
+        return BatchedNet(net=single)
+
+    # ------------------------------------------------------------- host side
+
+    def preprocess(self, data, attr):
+        """Grid-subsample the cloud + build the KD-tree (cacheable).
+
+        Mirrors reference randlanet.py:115-154.
+        """
+        cfg = self.cfg
+        points = np.array(data["point"][:, 0:3], dtype=np.float32)
+
+        if "label" not in data or data["label"] is None:
+            labels = np.zeros((points.shape[0],), dtype=np.int32)
+        else:
+            labels = np.array(data["label"], dtype=np.int32).reshape((-1,))
+
+        if "feat" not in data or data["feat"] is None:
+            feat = None
+        else:
+            feat = np.array(data["feat"], dtype=np.float32)
+
+        split = attr["split"]
+        out = {}
+        if feat is None:
+            sub_points, sub_labels = DataProcessing.grid_subsampling(
+                points, labels=labels, grid_size=cfg.grid_size)
+            sub_feat = None
+        else:
+            sub_points, sub_feat, sub_labels = \
+                DataProcessing.grid_subsampling(points, features=feat,
+                                                labels=labels,
+                                                grid_size=cfg.grid_size)
+        search_tree = cKDTree(sub_points)
+        out["point"] = sub_points
+        out["feat"] = sub_feat
+        out["label"] = sub_labels
+        out["search_tree"] = search_tree
+        if split in ("test", "testing"):
+            _, proj_inds = search_tree.query(points, k=1)
+            out["proj_inds"] = np.asarray(proj_inds,
+                                          np.int32).reshape(-1)
+        return out
+
+    def transform(self, data, attr, rng=None):
+        """Sample a fixed-size patch, augment, build device-ready arrays.
+
+        Mirrors reference randlanet.py:156-239 minus the host KNN pyramid
+        (computed on device by default).
+        """
+        cfg = self.cfg
+        rng = rng or self.rng
+
+        pc = data["point"].copy()
+        label = data["label"].copy()
+        feat = data["feat"].copy() if data["feat"] is not None else None
+        tree = data["search_tree"]
+
+        pc, selected_idxs, center_point = self.trans_point_sampler(
+            pc=pc, feat=feat, label=label, search_tree=tree,
+            num_points=cfg.num_points, rng=rng)
+        label = label[selected_idxs]
+        if feat is not None:
+            feat = feat[selected_idxs]
+
+        augment_cfg = dict(self.cfg.get("augment", {}) or {})
+        val_augment_cfg = {}
+        if "recenter" in augment_cfg:
+            val_augment_cfg["recenter"] = augment_cfg.pop("recenter")
+        if "normalize" in augment_cfg:
+            val_augment_cfg["normalize"] = augment_cfg.pop("normalize")
+        self.augmenter.augment(pc, feat, label, val_augment_cfg, seed=rng)
+        if attr["split"] in ("training", "train"):
+            pc, feat, label = self.augmenter.augment(pc, feat, label,
+                                                     augment_cfg, seed=rng)
+
+        if feat is None:
+            feat = pc.copy()
+        else:
+            feat = np.concatenate([pc, feat], axis=1)
+        if cfg.in_channels != feat.shape[1]:
+            raise RuntimeError(
+                "Wrong feature dimension; set in_channels = 3 + feat dims")
+
+        inputs = {
+            "coords": pc.astype(np.float32),
+            "features": feat.astype(np.float32),
+            "labels": label.astype(np.int32),
+            "point_inds": np.asarray(selected_idxs, np.int32),
+        }
+        if not cfg.knn_on_device:
+            pyr_coords, pyr_nbr, pyr_pool, pyr_up = [], [], [], []
+            p = pc
+            for i in range(cfg.num_layers):
+                nbr = DataProcessing.knn_search(p, p, cfg.num_neighbors)
+                n_sub = p.shape[0] // cfg.sub_sampling_ratio[i]
+                sub = p[:n_sub]
+                pyr_coords.append(p.astype(np.float32))
+                pyr_nbr.append(nbr.astype(np.int32))
+                pyr_pool.append(nbr[:n_sub].astype(np.int32))
+                pyr_up.append(
+                    DataProcessing.knn_search(sub, p, 1).astype(np.int32))
+                p = sub
+            inputs["coords_pyramid"] = pyr_coords
+            inputs["neighbor_indices"] = pyr_nbr
+            inputs["sub_idx"] = pyr_pool
+            inputs["interp_idx"] = pyr_up
+        return inputs
+
+    # ----------------------------------------------------------- device side
+
+    def get_loss(self, Loss, results, inputs):
+        """results [B, N, C] logits; inputs['labels'] [B, N] raw labels."""
+        cfg = self.cfg
+        labels = inputs["labels"].reshape(-1)
+        scores = results.reshape(-1, cfg.num_classes)
+        remapped, valid = filter_valid_label(scores, labels, cfg.num_classes,
+                                             cfg.ignored_label_inds)
+        loss = Loss.weighted_cross_entropy(scores, remapped, valid)
+        return loss, remapped, scores
+
+    def get_optimizer(self, cfg_pipeline):
+        import optax
+        from ..modules.schedulers import exponential_lr
+        lr = cfg_pipeline.optimizer.lr
+        gamma = cfg_pipeline.get("scheduler_gamma", 1.0)
+        steps = cfg_pipeline.get("steps_per_epoch", 1)
+        schedule = exponential_lr(lr, gamma, steps_per_epoch=steps)
+        tx = optax.adam(learning_rate=schedule)
+        return tx, schedule
+
+    def update_probs(self, inputs, results, test_probs):
+        """EMA-fuse patch probabilities into the full-cloud accumulator
+        (reference randlanet.py:441-465)."""
+        test_smooth = 0.95
+        results = np.asarray(results)
+        for b in range(results.shape[0]):
+            probs = np.asarray(
+                jax.nn.softmax(results[b].reshape(-1, self.cfg.num_classes),
+                               axis=-1))
+            inds = np.asarray(inputs["point_inds"][b])
+            test_probs[inds] = test_smooth * test_probs[inds] + \
+                (1 - test_smooth) * probs
+        return test_probs
+
+
+MODEL._register_module(RandLANet)

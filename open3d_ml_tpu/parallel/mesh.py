@@ -1,0 +1,93 @@
+"""Device mesh + sharding helpers: the distributed backbone of the framework.
+
+TPU-native replacement for the reference's torch.distributed/DDP machinery
+(/root/reference/scripts/run_pipeline.py:195-260,
+ml3d/torch/pipelines/object_detection.py:302-344): instead of one process per
+GPU with NCCL all-reduce hooks, a single program lays a jax.sharding.Mesh over
+all chips and jits step functions with batch sharded on the "data" axis and
+parameters replicated; XLA emits the gradient all-reduces over ICI.
+
+The mesh is built model-parallel-ready: ``make_mesh(dp, mp)`` returns a 2-D
+("data", "model") mesh; pure DP is mp=1.
+"""
+
+import functools
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data_parallel=None, model_parallel=1, devices=None):
+    """Build a ("data", "model") mesh. Defaults to all devices x 1."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data_parallel is None:
+        data_parallel = n // model_parallel
+    assert data_parallel * model_parallel <= n, \
+        f"requested {data_parallel}x{model_parallel} mesh on {n} devices"
+    dev_array = np.asarray(
+        devices[:data_parallel * model_parallel]).reshape(
+            data_parallel, model_parallel)
+    return Mesh(dev_array, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh):
+    """NamedSharding placing the leading batch axis on the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh):
+    """Device-put a pytree of host arrays with batch-axis sharding."""
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree, mesh):
+    """Device-put a pytree replicated across the mesh."""
+    sharding = replicated_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def data_parallel_jit(fn, mesh, *, batch_argnums=(1,), donate_argnums=()):
+    """jit ``fn`` so listed args are batch-sharded and others replicated.
+
+    Output shardings are left to XLA propagation. With parameters replicated
+    and the loss averaged over the (sharded) batch, the SPMD partitioner
+    inserts the cross-chip gradient all-reduce automatically — the TPU
+    equivalent of DDP's backward hooks.
+    """
+    bsh = batch_sharding(mesh)
+    rsh = replicated_sharding(mesh)
+
+    # cache the jitted callable per arity
+    _cache = {}
+
+    @functools.wraps(fn)
+    def cached(*args):
+        arity = len(args)
+        if arity not in _cache:
+            in_shardings = tuple(
+                bsh if i in batch_argnums else rsh for i in range(arity))
+            _cache[arity] = jax.jit(fn, in_shardings=in_shardings,
+                                    donate_argnums=donate_argnums)
+        return _cache[arity](*args)
+
+    return cached
+
+
+def process_allgather(tree):
+    """Gather host-local values across processes (multi-host eval collect).
+
+    Single-process fallback returns the input unchanged — the analog of the
+    reference's dist.gather_object (object_detection.py:222-233).
+    """
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+    return multihost_utils.process_allgather(tree)

@@ -1,0 +1,6 @@
+"""Task pipelines: model-agnostic train/eval/test loops."""
+
+from .base_pipeline import BasePipeline
+from .semantic_segmentation import SemanticSegmentation
+
+__all__ = ["BasePipeline", "SemanticSegmentation"]

@@ -1,0 +1,62 @@
+"""Base pipeline: device/mesh resolution, log dirs, summary config.
+
+Rebuild of /root/reference/ml3d/torch/pipelines/base_pipeline.py:12-96. The
+reference blocks distributed semseg and CPU-distributed runs; here every
+pipeline is mesh-native — a single program over however many chips
+jax.devices() reports (1 on a dev box, N on a pod slice).
+"""
+
+import logging
+from abc import ABC, abstractmethod
+from os.path import join
+
+import numpy as np
+
+from ..parallel import make_mesh
+from ..utils import Config, make_dir
+
+log = logging.getLogger(__name__)
+
+
+class BasePipeline(ABC):
+    """Base for SemanticSegmentation / ObjectDetection pipelines."""
+
+    def __init__(self, model, dataset=None, device="tpu", distributed=False,
+                 **kwargs):
+        if kwargs.get("name") is None:
+            raise KeyError("Provide pipeline name to initialize it")
+
+        self.cfg = Config(kwargs)
+        self.name = self.cfg.name
+        self.model = model
+        self.dataset = dataset
+        self.rng = np.random.default_rng(kwargs.get("seed", None))
+
+        # "distributed" is implicit: the mesh spans all visible devices.
+        self.mesh = make_mesh(
+            model_parallel=int(self.cfg.get("model_parallel", 1)))
+        self.num_devices = int(np.prod(self.mesh.devices.shape))
+        self.device = device
+
+        dataset_name = dataset.name if dataset is not None else ""
+        self.cfg.logs_dir = join(
+            self.cfg.main_log_dir,
+            model.__class__.__name__ + "_" + dataset_name + "_jax")
+        make_dir(self.cfg.main_log_dir)
+        make_dir(self.cfg.logs_dir)
+
+        self.summary = {}
+        if "summary" not in self.cfg:
+            self.cfg.cfg_dict["summary"] = {}
+
+    @abstractmethod
+    def run_inference(self, data):
+        """Run inference on one datum."""
+
+    @abstractmethod
+    def run_test(self):
+        """Run testing on the test split."""
+
+    @abstractmethod
+    def run_train(self):
+        """Run training on the train split."""

@@ -1,14 +1,18 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
-Must set XLA flags before jax initializes — hence the env mutation at import
-time, before any test module imports jax.
+The axon TPU plugin force-sets jax_platforms at sitecustomize time, so the
+JAX_PLATFORMS env var alone is not enough — we must also update the config
+after importing jax (before any backend initialization).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
