@@ -1,3 +1,5 @@
+from .bev_box import BEVBox3D
 from .dataprocessing import DataProcessing
+from . import operations
 
-__all__ = ["DataProcessing"]
+__all__ = ["BEVBox3D", "DataProcessing", "operations"]

@@ -1,0 +1,89 @@
+"""Multi-chip dry-run: compile + execute one full DP training step on a mesh.
+
+Used by __graft_entry__.dryrun_multichip to validate that the framework's
+sharded training path compiles and runs on an n-device mesh (virtual CPU
+devices in CI, real chips in production). Exercises the same code path as
+SemanticSegmentation._make_train_step: batch sharded on the mesh "data" axis,
+params/optimizer replicated, XLA-inserted gradient all-reduce, cross-sample
+BatchNorm stats sync (axis_name="batch" inside nn.vmap).
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def dryrun_train_step(n_devices, num_points=512, num_classes=8):
+    """Build an n-device mesh, jit the full RandLA-Net train step over it,
+    run ONE step on tiny shapes. Returns the (finite) loss as a float."""
+    from ..models import RandLANet
+
+    devices = jax.devices()[:n_devices]
+    mesh = Mesh(np.asarray(devices).reshape(n_devices, 1),
+                axis_names=("data", "model"))
+    bsh = NamedSharding(mesh, P("data"))
+    rsh = NamedSharding(mesh, P())
+
+    model = RandLANet(num_points=num_points, num_classes=num_classes,
+                      ignored_label_inds=[0], in_channels=3, dim_features=8,
+                      dim_output=[16, 32, 64, 128],
+                      sub_sampling_ratio=[4, 4, 4, 4])
+    net = model.get_net()
+
+    rng = np.random.default_rng(0)
+    batch_size = max(n_devices, 2)
+    batch = {
+        "coords": jnp.asarray(
+            rng.standard_normal((batch_size, num_points, 3)), jnp.float32),
+        "features": jnp.asarray(
+            rng.standard_normal((batch_size, num_points, 3)), jnp.float32),
+        "labels": jnp.asarray(
+            rng.integers(0, num_classes, (batch_size, num_points)),
+            jnp.int32),
+    }
+    batch = jax.tree.map(lambda x: jax.device_put(x, bsh), batch)
+
+    key = jax.random.PRNGKey(0)
+    variables = net.init({"params": key, "dropout": key}, batch,
+                         training=False)
+    params = jax.device_put(variables["params"], rsh)
+    batch_stats = jax.device_put(variables["batch_stats"], rsh)
+    tx = optax.adam(1e-3)
+    opt_state = jax.device_put(tx.init(params), rsh)
+
+    class _Loss:
+        class_weights = None
+
+        @staticmethod
+        def weighted_cross_entropy(logits, labels, valid):
+            logp = jnp.take_along_axis(
+                jax.nn.log_softmax(logits, axis=-1), labels[:, None],
+                axis=-1)[:, 0]
+            w = valid.astype(jnp.float32)
+            return -(logp * w).sum() / jnp.maximum(w.sum(), 1e-6)
+
+    def train_step(params, batch_stats, opt_state, batch, dropout_key):
+        def loss_fn(p):
+            results, updates = net.apply(
+                {"params": p, "batch_stats": batch_stats}, batch,
+                training=True, mutable=["batch_stats"],
+                rngs={"dropout": dropout_key})
+            loss, _, _ = model.get_loss(_Loss, results, batch)
+            return loss, updates["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_bs, new_opt, loss
+
+    jitted = jax.jit(train_step,
+                     in_shardings=(rsh, rsh, rsh, bsh, rsh))
+    new_params, new_bs, new_opt, loss = jitted(
+        params, batch_stats, opt_state, batch, key)
+    loss = float(loss)
+    assert np.isfinite(loss), f"dryrun loss not finite: {loss}"
+    return loss
