@@ -35,14 +35,20 @@ class DataProcessing:
     def knn_search(support_pts, query_pts, k):
         """Exact KNN on host: returns [N2, k] int32 neighbor indices.
 
-        If fewer than k support points exist, indices wrap by repetition.
+        Uses the native C++ KD-tree (open3d_ml_tpu/native) when built,
+        scipy otherwise. If fewer than k support points exist, indices wrap
+        by repetition.
         """
         support = np.asarray(support_pts, np.float32)
         query = np.asarray(query_pts, np.float32)
         n = support.shape[0]
         kk = min(k, n)
-        tree = cKDTree(support)
-        _, idx = tree.query(query, k=kk)
+        from ...native import NativeKDTree, native_available
+        if native_available() and n > 64:
+            _, idx = NativeKDTree(support).query(query, k=kk)
+        else:
+            tree = cKDTree(support)
+            _, idx = tree.query(query, k=kk)
         idx = idx.reshape(query.shape[0], kk)
         if kk < k:
             reps = int(np.ceil(k / kk))

@@ -151,17 +151,17 @@ class RandLANetNet(nn.Module):
         cfg_dims = list(self.dim_output)
         feat = inputs["features"]  # [N, in_ch]
 
-        if self.knn_on_device:
-            pyramid = build_knn_pyramid(
-                inputs["coords"], self.num_neighbors,
-                list(self.sub_sampling_ratio))
-        else:
+        if "neighbor_indices" in inputs:
             pyramid = {
                 "coords": inputs["coords_pyramid"],
                 "neighbor_indices": inputs["neighbor_indices"],
                 "sub_idx": inputs["sub_idx"],
                 "interp_idx": inputs["interp_idx"],
             }
+        else:
+            pyramid = build_knn_pyramid(
+                inputs["coords"], self.num_neighbors,
+                list(self.sub_sampling_ratio))
 
         feat = nn.Dense(self.dim_features, name="fc0")(feat)
         feat = nn.BatchNorm(use_running_average=not training, momentum=0.99,
@@ -208,11 +208,33 @@ class RandLANetNet(nn.Module):
 
 class BatchedNet(nn.Module):
     """vmap wrapper: maps a single-sample net over the leading batch axis,
-    broadcasting params and sharing batch statistics."""
+    broadcasting params and sharing batch statistics.
+
+    The KNN pyramid is deliberately computed OUTSIDE nn.vmap, per sample in
+    an unrolled loop: under vmap, XLA lowers batched top_k to a full sort and
+    the pyramid goes from ~1s to ~13s on a v5e (measured). The per-sample
+    path keeps the fast TopK custom call.
+    """
     net: nn.Module
 
     @nn.compact
     def __call__(self, inputs, training=False):
+        if ("neighbor_indices" not in inputs and
+                getattr(self.net, "knn_on_device", False)):
+            b = inputs["coords"].shape[0]
+            pyrs = [
+                build_knn_pyramid(inputs["coords"][i],
+                                  self.net.num_neighbors,
+                                  list(self.net.sub_sampling_ratio))
+                for i in range(b)
+            ]
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *pyrs)
+            inputs = dict(inputs)
+            inputs["coords_pyramid"] = stacked["coords"]
+            inputs["neighbor_indices"] = stacked["neighbor_indices"]
+            inputs["sub_idx"] = stacked["sub_idx"]
+            inputs["interp_idx"] = stacked["interp_idx"]
+
         vnet = nn.vmap(
             lambda mdl, x: mdl(x, training=training),
             variable_axes={"params": None, "batch_stats": None},
