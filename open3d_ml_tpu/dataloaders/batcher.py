@@ -27,10 +27,17 @@ class DefaultBatcher:
                 key: self.collate_fn([b[key] for b in batch]) for key in elem
             }
         if isinstance(elem, (list, tuple)):
-            return [
-                self.collate_fn([b[i] for b in batch])
-                for i in range(len(elem))
-            ]
+            # per-layer lists of arrays (e.g. host KNN pyramids): collate
+            # positionally when lengths agree and entries are arrays;
+            # otherwise (e.g. variable-length lists of box objects) keep one
+            # entry per sample.
+            if (len(elem) > 0 and isinstance(elem[0], np.ndarray) and
+                    all(len(b) == len(elem) for b in batch)):
+                return [
+                    self.collate_fn([b[i] for b in batch])
+                    for i in range(len(elem))
+                ]
+            return list(batch)
         if isinstance(elem, np.ndarray):
             return np.stack(batch, axis=0)
         if isinstance(elem, (int, np.integer)):

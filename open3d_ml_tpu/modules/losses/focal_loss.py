@@ -19,11 +19,16 @@ class FocalLoss:
     def __call__(self, pred, target, weight=None, avg_factor=None):
         """Args:
             pred: [N, C] raw logits.
-            target: [N, C] one-hot (float) targets.
+            target: [N, C] one-hot float targets, or [N] int class ids where
+                id == C means background (all-zero one-hot row, reference
+                focal_loss.py:7-11,33-35).
             weight: optional [N] or [N, C] per-element weights.
             avg_factor: normalizer (defaults to count of weights > 0 or N).
         """
         pred = pred.astype(jnp.float32)
+        if target.ndim == pred.ndim - 1:
+            c = pred.shape[-1]
+            target = (target[..., None] == jnp.arange(c)[None, :])
         target = target.astype(jnp.float32)
         p = jax.nn.sigmoid(pred)
         ce = -(target * jax.nn.log_sigmoid(pred) +

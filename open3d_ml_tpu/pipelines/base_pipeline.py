@@ -49,6 +49,22 @@ class BasePipeline(ABC):
         if "summary" not in self.cfg:
             self.cfg.cfg_dict["summary"] = {}
 
+    def _shard_arrays(self, arrays):
+        """Device-put a dict of host arrays: batch-sharded over the mesh
+        data axis when the leading dim divides evenly, replicated otherwise
+        (e.g. tiny test batches). jit picks shardings up from placement."""
+        import jax
+        from ..parallel import batch_sharding, replicated_sharding
+        dp = self.mesh.devices.shape[0]
+
+        def put(x):
+            if (hasattr(x, "shape") and x.ndim > 0 and
+                    x.shape[0] % dp == 0):
+                return jax.device_put(x, batch_sharding(self.mesh))
+            return jax.device_put(x, replicated_sharding(self.mesh))
+
+        return jax.tree.map(put, arrays)
+
     @abstractmethod
     def run_inference(self, data):
         """Run inference on one datum."""

@@ -115,8 +115,7 @@ class SemanticSegmentation(BasePipeline):
             if isinstance(v, np.ndarray) or
             (isinstance(v, list) and len(v) and isinstance(v[0], np.ndarray))
         }
-        sh = batch_sharding(self.mesh)
-        return jax.tree.map(lambda x: jax.device_put(x, sh), arrays)
+        return self._shard_arrays(arrays)
 
     def _make_train_step(self, Loss, tx):
         model = self.model
@@ -152,11 +151,7 @@ class SemanticSegmentation(BasePipeline):
                                    opt_state=new_opt, step=state.step + 1)
             return new_state, loss, cm
 
-        rsh = replicated_sharding(self.mesh)
-        bsh = batch_sharding(self.mesh)
-        return jax.jit(train_step,
-                       in_shardings=(rsh, bsh, rsh),
-                       donate_argnums=(0,))
+        return jax.jit(train_step, donate_argnums=(0,))
 
     def _make_eval_step(self, Loss):
         model = self.model
@@ -173,9 +168,7 @@ class SemanticSegmentation(BasePipeline):
                                          num_classes)
             return loss, cm, results
 
-        rsh = replicated_sharding(self.mesh)
-        bsh = batch_sharding(self.mesh)
-        return jax.jit(eval_step, in_shardings=(rsh, bsh))
+        return jax.jit(eval_step)
 
     def _make_infer_fn(self):
         net = self.net
