@@ -46,16 +46,16 @@ def main():
                          jax.tree.map(lambda x: x[:1, :8192], batch),
                          training=False)
 
-    fwd = jax.jit(lambda v, b: net.apply(v, b, training=False))
-    # warmup + compile
-    out = fwd(variables, batch)
-    out.block_until_ready()
+    # reduce to a scalar inside the jit and fetch it: on this relay-backed
+    # runtime, block_until_ready alone does not reliably force execution.
+    fwd = jax.jit(
+        lambda v, b: jnp.sum(net.apply(v, b, training=False)))
+    float(fwd(variables, batch))  # warmup + compile
 
-    iters = 10
+    iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fwd(variables, batch)
-    out.block_until_ready()
+        s = float(fwd(variables, batch))
     dt = time.perf_counter() - t0
 
     points_per_sec = batch_size * num_points * iters / dt
