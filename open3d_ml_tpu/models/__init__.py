@@ -3,6 +3,12 @@
 from .base_model import BaseModel
 from .base_model_objdet import ObjdetBaseModel
 from .point_pillars import PointPillars
+from .point_transformer import PointTransformer
+from .pvcnn import PVCNN
 from .randlanet import RandLANet
+from .sparseconvunet import SparseConvUnet
 
-__all__ = ["BaseModel", "ObjdetBaseModel", "PointPillars", "RandLANet"]
+__all__ = [
+    "BaseModel", "ObjdetBaseModel", "PointPillars", "PointTransformer",
+    "PVCNN", "RandLANet", "SparseConvUnet"
+]

@@ -35,3 +35,48 @@ def batch_norm(training, name=None, epsilon=1e-5, momentum=0.9):
     """BatchNorm with torch defaults, synced over the vmapped batch axis."""
     return nn.BatchNorm(use_running_average=not training, momentum=momentum,
                         epsilon=epsilon, axis_name="batch", name=name)
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over the valid rows of a padded [V, C] tensor.
+
+    Padded rows must not contaminate batch statistics, so mean/var are
+    computed with the mask and synced across the vmapped batch axis via
+    psum (torch BN-over-active-sites semantics for sparse voxel nets).
+    """
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    axis_name: str = "batch"
+
+    @nn.compact
+    def __call__(self, x, mask, training=False):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,)))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,)))
+
+        if training:
+            m = mask[:, None].astype(x.dtype)
+            cnt = jnp.sum(m)
+            s = jnp.sum(x * m, axis=0)
+            s2 = jnp.sum(x * x * m, axis=0)
+            if self.axis_name is not None:
+                cnt = jax.lax.psum(cnt, self.axis_name)
+                s = jax.lax.psum(s, self.axis_name)
+                s2 = jax.lax.psum(s2, self.axis_name)
+            cnt = jnp.maximum(cnt, 1.0)
+            mean = s / cnt
+            var = jnp.maximum(s2 / cnt - mean * mean, 0.0)
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + \
+                    (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + \
+                    (1 - self.momentum) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        return jnp.where(mask[:, None], y, 0.0)

@@ -1,0 +1,326 @@
+"""SparseConvUnet for semantic segmentation, TPU-native.
+
+Rebuild of /root/reference/ml3d/torch/models/sparseconvnet.py:13-677: a
+7-level U-Net of submanifold sparse 3x3x3 convolutions over active voxel
+sites, with stride-2 kernel-2 down/up convolutions, voxelized input
+averaging and de-voxelized output.
+
+TPU re-design (replacing the external SparseConv/SparseConvTranspose CUDA
+layers): active sites are padded [V, 3] int32 coordinate arrays with masks;
+per level a sort+searchsorted SiteHash yields a dense [V, 27] rulebook and
+convolution becomes one gather + [V, 27*Cin] x [27*Cin, Cout] MXU matmul
+(ops/sparse.py). Downsampling deduplicates coords//2 with a static cap;
+up-convolution gathers each fine site's parent through the weight slice of
+its intra-block offset. BatchNorm uses masked statistics so padding never
+contaminates running stats.
+"""
+
+import numpy as np
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..datasets.augment import SemsegAugmentation
+from ..modules.losses import filter_valid_label
+from ..ops.sparse import (apply_sparse_conv, apply_sparse_conv_transpose,
+                          build_rulebook, downsample_sites, kernel_offsets)
+from ..ops.voxelize import voxelize
+from ..utils import MODEL
+from .base_model import BaseModel
+from .common import BatchedNet, MaskedBatchNorm
+
+
+class SubmanifoldConv(nn.Module):
+    """3x3x3 submanifold conv: same active sites in and out
+    (reference SubmanifoldSparseConv :344-383)."""
+    filters: int
+
+    @nn.compact
+    def __call__(self, feat, rulebook, mask):
+        k = rulebook.shape[1]
+        cin = feat.shape[-1]
+        w = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
+            (k, cin, self.filters))
+        return apply_sparse_conv(feat, rulebook, w, out_mask=mask)
+
+
+class SCBlock(nn.Module):
+    """BN -> ReLU -> SubmanifoldConv (plain UNet block, reference
+    UNet.block :577-589)."""
+    filters: int
+
+    @nn.compact
+    def __call__(self, feat, rulebook, mask, training=False):
+        x = MaskedBatchNorm(name="bn")(feat, mask, training=training)
+        x = nn.relu(x)
+        return SubmanifoldConv(self.filters, name="conv")(x, rulebook, mask)
+
+
+class ResidualSCBlock(nn.Module):
+    """Residual variant (reference ResidualBlock :533-565)."""
+    filters: int
+
+    @nn.compact
+    def __call__(self, feat, rulebook, mask, training=False):
+        cin = feat.shape[-1]
+        if cin == self.filters:
+            shortcut = feat
+        else:
+            shortcut = nn.Dense(self.filters, use_bias=False,
+                                name="lin")(feat)
+        x = MaskedBatchNorm(name="bn1")(feat, mask, training=training)
+        x = nn.relu(x)
+        x = SubmanifoldConv(self.filters, name="conv1")(x, rulebook, mask)
+        x = MaskedBatchNorm(name="bn2")(x, mask, training=training)
+        x = nn.relu(x)
+        x = SubmanifoldConv(self.filters, name="conv2")(x, rulebook, mask)
+        return shortcut + x
+
+
+class SparseConvUnetNet(nn.Module):
+    """Single-sample network over padded voxel sites; batched via
+    BatchedNet."""
+    in_channels: int
+    num_classes: int
+    multiplier: int = 16
+    conv_block_reps: int = 1
+    residual_blocks: bool = False
+    num_levels: int = 7
+    max_voxels: int = 20000
+
+    @nn.compact
+    def __call__(self, inputs, training=False):
+        m = self.multiplier
+        planes = [m * (i + 1) for i in range(self.num_levels)]
+        block_cls = ResidualSCBlock if self.residual_blocks else SCBlock
+        offs27 = kernel_offsets(3, centered=True)
+
+        # ---- input voxelization: average features per occupied voxel
+        points = inputs["point"]  # [N, 3] float voxel-space coords (>= 0)
+        feat_in = inputs["feat"]  # [N, C]
+        pmask = inputs.get("point_mask")
+        if pmask is None:
+            pmask = jnp.ones(points.shape[:1], bool)
+
+        cap = self.max_voxels
+        vd = voxelize(points, (1.0, 1.0, 1.0), (0.0, 0.0, 0.0),
+                      (1024.0, 1024.0, 1024.0), cap, 1024 // 8,
+                      points_mask=pmask)
+        # per-voxel mean feature
+        fpad = jnp.where(vd.point_mask[..., None],
+                         feat_in[vd.point_indices], 0.0)
+        feat = jnp.sum(fpad, axis=1) / jnp.maximum(
+            vd.num_points_per_voxel, 1)[:, None]  # [cap, C]
+        coords = vd.coords
+        mask = vd.voxel_mask
+
+        # point -> voxel map for devoxelization at the end
+        from ..ops.sparse import SiteHash
+        sh0 = SiteHash(coords, mask)
+        pvox = jnp.floor(points).astype(jnp.int32)
+        point_site, _ = sh0.lookup(pvox, pmask)  # [N] (sentinel cap)
+
+        rulebook = build_rulebook(coords, mask, offs27, site_hash=sh0)
+        feat = SubmanifoldConv(m, name="input_conv")(feat, rulebook, mask)
+
+        # ---- recursive U
+        def u_level(level, feat, coords, mask, rulebook):
+            p = planes[level]
+            for r in range(self.conv_block_reps):
+                feat = block_cls(p, name=f"l{level}_block{r}")(
+                    feat, rulebook, mask, training=training)
+            if level == self.num_levels - 1:
+                return feat
+            # down: BN-ReLU-Conv(k2 s2)
+            x = MaskedBatchNorm(name=f"l{level}_down_bn")(
+                feat, mask, training=training)
+            x = nn.relu(x)
+            dcap = coords.shape[0]
+            pcoords, pmask_lvl, parent_idx, off_idx = downsample_sites(
+                coords, mask, dcap)
+            # conv k2: each parent gathers children at 2*p + {0,1}^3
+            offs8 = kernel_offsets(2, centered=False)
+            child_q = (pcoords[:, None, :] * 2 +
+                       jnp.asarray(offs8, jnp.int32)[None, :, :])
+            sh = SiteHash(coords, mask)
+            child_idx, _ = sh.lookup(
+                child_q.reshape(-1, 3),
+                jnp.repeat(pmask_lvl, 8))
+            down_rb = child_idx.reshape(-1, 8)  # [dcap, 8]
+            cin = x.shape[-1]
+            w_down = self.param(
+                f"l{level}_down_kernel",
+                nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
+                (8, cin, planes[level + 1]))
+            x_down = apply_sparse_conv(x, down_rb, w_down,
+                                       out_mask=pmask_lvl)
+            p_rb = build_rulebook(pcoords, pmask_lvl, offs27)
+            x_deep = u_level(level + 1, x_down, pcoords, pmask_lvl, p_rb)
+            # up: BN-ReLU-DeConv(k2)
+            y = MaskedBatchNorm(name=f"l{level}_up_bn")(
+                x_deep, pmask_lvl, training=training)
+            y = nn.relu(y)
+            w_up = self.param(
+                f"l{level}_up_kernel",
+                nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
+                (8, planes[level + 1], p))
+            y_up = apply_sparse_conv_transpose(y, parent_idx, off_idx, w_up,
+                                               out_mask=mask)
+            # join skip + up, then post blocks
+            z = jnp.concatenate([feat, y_up], axis=-1)
+            for r in range(self.conv_block_reps):
+                z = block_cls(p, name=f"l{level}_post{r}")(
+                    z, rulebook, mask, training=training)
+            return z
+
+        feat = u_level(0, feat, coords, mask, rulebook)
+
+        feat = MaskedBatchNorm(name="final_bn")(feat, mask,
+                                                training=training)
+        feat = nn.relu(feat)
+        logits_vox = nn.Dense(self.num_classes, name="linear")(feat)
+
+        # ---- devoxelize back to points
+        logits_pad = jnp.concatenate(
+            [logits_vox,
+             jnp.zeros((1, self.num_classes), logits_vox.dtype)], axis=0)
+        return logits_pad[point_site]  # [N, num_classes]
+
+
+class SparseConvUnet(BaseModel):
+    """SparseConvUnet model wrapper: host pipeline + net + wiring."""
+
+    def __init__(self,
+                 name="SparseConvUnet",
+                 multiplier=16,
+                 voxel_size=0.05,
+                 conv_block_reps=1,
+                 residual_blocks=False,
+                 in_channels=3,
+                 num_classes=20,
+                 grid_size=4096,
+                 num_points=65536,
+                 max_voxels=40000,
+                 num_levels=7,
+                 ignored_label_inds=[],
+                 batcher="DefaultBatcher",
+                 augment=None,
+                 **kwargs):
+        super().__init__(name=name,
+                         multiplier=multiplier,
+                         voxel_size=voxel_size,
+                         conv_block_reps=conv_block_reps,
+                         residual_blocks=residual_blocks,
+                         in_channels=in_channels,
+                         num_classes=num_classes,
+                         grid_size=grid_size,
+                         num_points=num_points,
+                         max_voxels=max_voxels,
+                         num_levels=num_levels,
+                         ignored_label_inds=ignored_label_inds,
+                         batcher=batcher,
+                         augment=augment,
+                         **kwargs)
+        self.augmenter = SemsegAugmentation(self.cfg.augment, seed=self.rng)
+
+    def get_net(self):
+        cfg = self.cfg
+        return BatchedNet(net=SparseConvUnetNet(
+            in_channels=cfg.in_channels,
+            num_classes=cfg.num_classes,
+            multiplier=cfg.multiplier,
+            conv_block_reps=cfg.conv_block_reps,
+            residual_blocks=cfg.residual_blocks,
+            num_levels=cfg.num_levels,
+            max_voxels=cfg.max_voxels))
+
+    def preprocess(self, data, attr, rng=None):
+        """Scale to voxel units, augment, random grid placement, snap to
+        voxel centers (reference :96-160). Here the cloud is additionally
+        rebased to a 1024^3 extent (int32 hash keys on device)."""
+        cfg = self.cfg
+        rng = rng or self.rng
+        points = np.array(data["point"], dtype=np.float32)
+        labels = (np.zeros((points.shape[0],), np.int32)
+                  if data.get("label") is None else
+                  np.array(data["label"], np.int32).reshape(-1))
+        if data.get("feat") is None:
+            raise ValueError("SparseConvUnet needs feature values.")
+        feat = np.array(data["feat"], np.float32)
+
+        points = points * (1.0 / cfg.voxel_size)
+        if attr["split"] in ("training", "train"):
+            points, feat, labels = self.augmenter.augment(
+                points, feat, labels, dict(cfg.get("augment") or {}),
+                seed=rng)
+
+        m = points.min(0)
+        points = points - m  # rebase to >= 0 (device hash needs < 1024)
+        inside = points.max(1) < 1023
+        points, feat, labels = points[inside], feat[inside], labels[inside]
+        points = (points.astype(np.int32) + 0.5).astype(np.float32)
+
+        return {"point": points, "feat": feat, "label": labels}
+
+    def transform(self, data, attr, rng=None):
+        """Fix the point count (crop/pad) for static shapes."""
+        cfg = self.cfg
+        rng = rng or self.rng
+        points = np.asarray(data["point"], np.float32)
+        feat = np.asarray(data["feat"], np.float32)
+        labels = np.asarray(data["label"], np.int32)
+
+        n_target = cfg.num_points
+        n = points.shape[0]
+        if n >= n_target:
+            sel = rng.choice(n, n_target, replace=False)
+        else:
+            sel = np.concatenate(
+                [np.arange(n), rng.choice(max(n, 1), n_target - n)])
+        mask = np.zeros((n_target,), bool)
+        mask[:min(n, n_target)] = True
+        # feat normalization: reference divides color by 255 (-0.5 offset is
+        # dataset-specific; ScanNet reader emits raw colors)
+        out_feat = feat[sel] / 255.0 - 0.5 if feat.max() > 1.5 else feat[sel]
+        return {
+            "point": points[sel].astype(np.float32),
+            "feat": out_feat.astype(np.float32),
+            "label": labels[sel].astype(np.int32),
+            "point_mask": mask,
+            "point_inds": sel.astype(np.int32),
+        }
+
+    def get_loss(self, Loss, results, inputs):
+        cfg = self.cfg
+        labels = inputs["label"].reshape(-1)
+        scores = results.reshape(-1, cfg.num_classes)
+        remapped, valid = filter_valid_label(scores, labels, cfg.num_classes,
+                                             cfg.ignored_label_inds)
+        valid &= inputs["point_mask"].reshape(-1)
+        loss = Loss.weighted_cross_entropy(scores, remapped, valid)
+        return loss, remapped, scores
+
+    def get_optimizer(self, cfg_pipeline):
+        import optax
+        opt = dict(cfg_pipeline.optimizer or {})
+        lr = opt.get("lr", 1e-3)
+        return optax.adam(learning_rate=lr,
+                          b1=opt.get("betas", [0.9, 0.999])[0],
+                          b2=opt.get("betas", [0.9, 0.999])[1]), None
+
+    def update_probs(self, inputs, results, test_probs):
+        results = np.asarray(results)
+        for b in range(results.shape[0]):
+            probs = np.asarray(jax.nn.softmax(
+                jnp.asarray(results[b].reshape(-1, self.cfg.num_classes)),
+                axis=-1))
+            inds = np.asarray(inputs["point_inds"][b])
+            valid = np.asarray(inputs["point_mask"][b])
+            test_probs[inds[valid]] = probs[valid]
+        return test_probs
+
+
+MODEL._register_module(SparseConvUnet)

@@ -1,0 +1,188 @@
+"""Forward/train tests for PointTransformer, PVCNN, SparseConvUnet + sparse
+op goldens."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+class TestSparseOps:
+
+    def test_rulebook_golden(self, rng):
+        from open3d_ml_tpu.ops.sparse import build_rulebook, kernel_offsets
+        coords = np.unique(rng.integers(0, 12, (200, 3)).astype(np.int32),
+                           axis=0)
+        v = 256
+        pad = np.zeros((v, 3), np.int32)
+        pad[:len(coords)] = coords
+        mask = np.zeros(v, bool)
+        mask[:len(coords)] = True
+        offs = kernel_offsets(3)
+        rb = np.asarray(
+            build_rulebook(jnp.asarray(pad), jnp.asarray(mask), offs))
+        cset = {tuple(c) for c in coords}
+        clist = [tuple(c) for c in pad]
+        for i in range(len(coords)):
+            for k, off in enumerate(offs):
+                q = tuple(coords[i] + off)
+                if q in cset:
+                    assert rb[i, k] < v and clist[rb[i, k]] == q
+                else:
+                    assert rb[i, k] == v
+
+    def test_identity_conv(self, rng):
+        from open3d_ml_tpu.ops.sparse import (apply_sparse_conv,
+                                              build_rulebook, kernel_offsets)
+        coords = np.unique(rng.integers(0, 10, (100, 3)).astype(np.int32),
+                           axis=0)
+        v = 128
+        pad = np.zeros((v, 3), np.int32)
+        pad[:len(coords)] = coords
+        mask = np.zeros(v, bool)
+        mask[:len(coords)] = True
+        rb = build_rulebook(jnp.asarray(pad), jnp.asarray(mask),
+                            kernel_offsets(3))
+        c = 4
+        feats = rng.standard_normal((v, c)).astype(np.float32)
+        w = np.zeros((27, c, c), np.float32)
+        w[13] = np.eye(c)  # center offset
+        out = np.asarray(
+            apply_sparse_conv(jnp.asarray(feats), rb, jnp.asarray(w),
+                              out_mask=jnp.asarray(mask)))
+        np.testing.assert_allclose(out[:len(coords)], feats[:len(coords)],
+                                   atol=1e-5)
+
+    def test_downsample(self, rng):
+        from open3d_ml_tpu.ops.sparse import downsample_sites
+        coords = np.unique(rng.integers(0, 16, (150, 3)).astype(np.int32),
+                           axis=0)
+        v = 256
+        pad = np.zeros((v, 3), np.int32)
+        pad[:len(coords)] = coords
+        mask = np.zeros(v, bool)
+        mask[:len(coords)] = True
+        pc, pm, pidx, oidx = downsample_sites(jnp.asarray(pad),
+                                              jnp.asarray(mask), v)
+        pc, pm, pidx, oidx = map(np.asarray, (pc, pm, pidx, oidx))
+        expect = np.unique(coords // 2, axis=0)
+        assert pm.sum() == len(expect)
+        for i in range(len(coords)):
+            assert tuple(pc[pidx[i]]) == tuple(coords[i] // 2)
+            rem = coords[i] - (coords[i] // 2) * 2
+            assert oidx[i] == (rem[2] * 2 + rem[1]) * 2 + rem[0]
+
+
+class TestPointTransformer:
+
+    def test_forward_and_loss(self, rng):
+        from open3d_ml_tpu.models import PointTransformer
+        model = PointTransformer(blocks=[2, 2, 2, 2, 2], in_channels=6,
+                                 num_classes=13, num_points=512)
+        net = model.get_net()
+        b, n = 2, 512
+        batch = {
+            "point": jnp.asarray(rng.standard_normal((b, n, 3)),
+                                 jnp.float32),
+            "feat": jnp.asarray(rng.uniform(0, 1, (b, n, 3)), jnp.float32),
+            "label": jnp.asarray(rng.integers(0, 13, (b, n)), jnp.int32),
+        }
+        key = jax.random.PRNGKey(0)
+        v = net.init({"params": key}, batch, training=False)
+        out = net.apply(v, batch, training=False)
+        assert out.shape == (b, n, 13)
+        assert bool(jnp.isfinite(out).all())
+
+
+class TestPVCNN:
+
+    def test_forward(self, rng):
+        from open3d_ml_tpu.models import PVCNN
+        model = PVCNN(num_classes=13, num_points=1024,
+                      extra_feature_channels=6)
+        net = model.get_net()
+        b, n = 2, 1024
+        batch = {
+            "point": jnp.asarray(rng.uniform(0, 5, (b, n, 3)), jnp.float32),
+            "feat": jnp.asarray(rng.uniform(0, 1, (b, n, 9)), jnp.float32),
+        }
+        key = jax.random.PRNGKey(0)
+        v = net.init({"params": key, "dropout": key}, batch, training=False)
+        out = net.apply(v, batch, training=False)
+        assert out.shape == (b, n, 13)
+        assert bool(jnp.isfinite(out).all())
+
+    def test_preprocess_shapes(self, rng):
+        from open3d_ml_tpu.models import PVCNN
+        model = PVCNN(num_classes=13, num_points=256,
+                      extra_feature_channels=6)
+        data = {
+            "point": rng.uniform(0, 5, (1000, 3)).astype(np.float32),
+            "feat": rng.uniform(0, 255, (1000, 3)).astype(np.float32),
+            "label": rng.integers(0, 13, 1000).astype(np.int32),
+        }
+        out = model.preprocess(data, {"split": "training"})
+        assert out["point"].shape == (256, 3)
+        assert out["feat"].shape == (256, 9)
+
+
+class TestSparseConvUnet:
+
+    def test_forward_train(self, rng):
+        from open3d_ml_tpu.models import SparseConvUnet
+        model = SparseConvUnet(multiplier=4, num_classes=5, in_channels=3,
+                               num_points=512, max_voxels=512, num_levels=3)
+        net = model.get_net()
+        b, n = 2, 512
+        batch = {
+            "point": jnp.asarray(
+                rng.integers(0, 40, (b, n, 3)).astype(np.float32) + 0.5),
+            "feat": jnp.asarray(rng.standard_normal((b, n, 3)), jnp.float32),
+            "label": jnp.asarray(rng.integers(0, 5, (b, n)), jnp.int32),
+            "point_mask": jnp.ones((b, n), bool),
+        }
+        key = jax.random.PRNGKey(0)
+        v = net.init({"params": key}, batch, training=False)
+        out = net.apply(v, batch, training=False)
+        assert out.shape == (b, n, 5)
+        assert bool(jnp.isfinite(out).all())
+        out2, upd = net.apply(v, batch, training=True,
+                              mutable=["batch_stats"])
+        assert bool(jnp.isfinite(out2).all())
+
+    def test_masked_bn_ignores_padding(self, rng):
+        from open3d_ml_tpu.models.common import MaskedBatchNorm
+
+        class Wrap(jax.tree_util.Partial):
+            pass
+
+        import flax.linen as nn
+
+        class M(nn.Module):
+
+            @nn.compact
+            def __call__(self, x, mask, training):
+                return MaskedBatchNorm(axis_name=None)(x, mask,
+                                                       training=training)
+
+        x = rng.standard_normal((100, 4)).astype(np.float32)
+        mask = np.zeros(100, bool)
+        mask[:60] = True
+        m = M()
+        v = m.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(mask),
+                   True)
+        # corrupt padded rows wildly; output on valid rows must not change
+        x2 = x.copy()
+        x2[60:] = 1e6
+        y1, _ = m.apply(v, jnp.asarray(x), jnp.asarray(mask), True,
+                        mutable=["batch_stats"])
+        y2, _ = m.apply(v, jnp.asarray(x2), jnp.asarray(mask), True,
+                        mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(y1)[:60], np.asarray(y2)[:60],
+                                   atol=1e-4)
