@@ -2,6 +2,7 @@
 
 from .base_model import BaseModel
 from .base_model_objdet import ObjdetBaseModel
+from .kpconv import KPFCNN
 from .point_pillars import PointPillars
 from .point_transformer import PointTransformer
 from .pvcnn import PVCNN
@@ -9,6 +10,6 @@ from .randlanet import RandLANet
 from .sparseconvunet import SparseConvUnet
 
 __all__ = [
-    "BaseModel", "ObjdetBaseModel", "PointPillars", "PointTransformer",
-    "PVCNN", "RandLANet", "SparseConvUnet"
+    "BaseModel", "KPFCNN", "ObjdetBaseModel", "PointPillars",
+    "PointTransformer", "PVCNN", "RandLANet", "SparseConvUnet"
 ]
