@@ -4,12 +4,15 @@ from .base_model import BaseModel
 from .base_model_objdet import ObjdetBaseModel
 from .kpconv import KPFCNN
 from .point_pillars import PointPillars
+from .point_rcnn import PointRCNN
+from .pointnet2 import Pointnet2MSG
 from .point_transformer import PointTransformer
 from .pvcnn import PVCNN
 from .randlanet import RandLANet
 from .sparseconvunet import SparseConvUnet
 
 __all__ = [
-    "BaseModel", "KPFCNN", "ObjdetBaseModel", "PointPillars",
-    "PointTransformer", "PVCNN", "RandLANet", "SparseConvUnet"
+    "BaseModel", "KPFCNN", "ObjdetBaseModel", "PointPillars", "PointRCNN",
+    "Pointnet2MSG", "PointTransformer", "PVCNN", "RandLANet",
+    "SparseConvUnet"
 ]
