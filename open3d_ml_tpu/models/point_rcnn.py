@@ -436,6 +436,9 @@ class PointRCNN(ObjdetBaseModel):
     def get_net(self):
         rpn = self.rpn_cfg
         backbone = dict(rpn.get("backbone", {}))
+        # the reference config nests the multiscale spec under SA_config
+        if "SA_config" in backbone:
+            backbone = {**backbone, **dict(backbone["SA_config"])}
         backbone_cfg = {
             "in_channels": backbone.get("in_channels", 0),
             "use_xyz": backbone.get("use_xyz", True),
