@@ -144,7 +144,8 @@ class RandLANetNet(nn.Module):
     dim_output: tuple
     sub_sampling_ratio: tuple
     knn_on_device: bool = True
-    knn_exact: bool = True
+    knn_method: str = "grid"  # 'exact' | 'approx' | 'grid' (fast path)
+    grid_cells: tuple = ()    # () = derive from grid_size
 
     @nn.compact
     def __call__(self, inputs, training=False):
@@ -161,7 +162,8 @@ class RandLANetNet(nn.Module):
         else:
             pyramid = build_knn_pyramid(
                 inputs["coords"], self.num_neighbors,
-                list(self.sub_sampling_ratio))
+                list(self.sub_sampling_ratio), method=self.knn_method,
+                grid_cells=self.grid_cells or None)
 
         feat = nn.Dense(self.dim_features, name="fc0")(feat)
         feat = nn.BatchNorm(use_running_average=not training, momentum=0.99,
@@ -225,7 +227,9 @@ class BatchedNet(nn.Module):
             pyrs = [
                 build_knn_pyramid(inputs["coords"][i],
                                   self.net.num_neighbors,
-                                  list(self.net.sub_sampling_ratio))
+                                  list(self.net.sub_sampling_ratio),
+                                  method=self.net.knn_method,
+                                  grid_cells=self.net.grid_cells or None)
                 for i in range(b)
             ]
             stacked = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *pyrs)
@@ -263,7 +267,8 @@ class RandLANet(BaseModel):
                  batcher="DefaultBatcher",
                  ckpt_path=None,
                  knn_on_device=True,
-                 knn_exact=True,
+                 knn_method="grid",
+                 grid_cells=None,
                  augment={},
                  **kwargs):
         super().__init__(name=name,
@@ -280,7 +285,8 @@ class RandLANet(BaseModel):
                          batcher=batcher,
                          ckpt_path=ckpt_path,
                          knn_on_device=knn_on_device,
-                         knn_exact=knn_exact,
+                         knn_method=knn_method,
+                         grid_cells=grid_cells,
                          augment=augment,
                          **kwargs)
         self.augmenter = SemsegAugmentation(self.cfg.augment, seed=self.rng)
@@ -295,7 +301,9 @@ class RandLANet(BaseModel):
             dim_output=tuple(cfg.dim_output),
             sub_sampling_ratio=tuple(cfg.sub_sampling_ratio),
             knn_on_device=cfg.knn_on_device,
-            knn_exact=cfg.knn_exact)
+            knn_method=cfg.knn_method,
+            grid_cells=tuple(cfg.grid_cells) if cfg.grid_cells else
+            tuple(cfg.grid_size * f for f in (4.0, 16.0, 64.0, 256.0)))
         return BatchedNet(net=single)
 
     # ------------------------------------------------------------- host side

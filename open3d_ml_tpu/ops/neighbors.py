@@ -141,7 +141,172 @@ def nearest_neighbor(points, queries, *, points_mask=None,
     return idx[:, 0]
 
 
-def build_knn_pyramid(points, k, sub_ratios, *, num_interp=1):
+def _grid_candidates(pts, valid, queries, cell_size, grid_dim, cap):
+    """Candidate indices/points/mask from the 3x3x3 cells around each query
+    at one cell size. Returns (idx [Q, 27*cap], pts [Q, 27*cap, 3], mask)."""
+    n = pts.shape[0]
+    q = queries.shape[0]
+    big = jnp.float32(1e9)
+    masked_pts = jnp.where(valid[:, None], pts, big)
+    origin = jnp.min(masked_pts, axis=0)
+
+    cell = jnp.clip(
+        jnp.floor((pts - origin[None, :]) / cell_size), 0,
+        grid_dim - 1).astype(jnp.int32)
+    cid = (cell[:, 2] * grid_dim + cell[:, 1]) * grid_dim + cell[:, 0]
+    cid = jnp.where(valid, cid, jnp.iinfo(jnp.int32).max)
+    order = jnp.argsort(cid).astype(jnp.int32)
+    sorted_cid = cid[order]
+    sorted_pts = pts[order]
+
+    qcell = jnp.clip(
+        jnp.floor((queries.astype(jnp.float32) - origin[None, :]) /
+                  cell_size), 0, grid_dim - 1).astype(jnp.int32)
+
+    offsets = jnp.asarray(
+        [[dx, dy, dz] for dz in (-1, 0, 1) for dy in (-1, 0, 1)
+         for dx in (-1, 0, 1)], jnp.int32)  # [27, 3]
+    ncell = qcell[:, None, :] + offsets[None, :, :]  # [Q, 27, 3]
+    in_grid = jnp.all((ncell >= 0) & (ncell < grid_dim), axis=-1)
+    ncid = (ncell[..., 2] * grid_dim + ncell[..., 1]) * grid_dim + \
+        ncell[..., 0]  # [Q, 27]
+
+    start = jnp.searchsorted(sorted_cid, ncid.reshape(-1)).astype(jnp.int32)
+    end = jnp.searchsorted(sorted_cid, ncid.reshape(-1),
+                           side="right").astype(jnp.int32)
+    count = (end - start).reshape(q, 27)
+    start = start.reshape(q, 27)
+
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    cand_sorted = start[:, :, None] + slot[None, None, :]  # [Q, 27, cap]
+    cand_mask = (slot[None, None, :] < count[:, :, None]) & \
+        in_grid[:, :, None]
+    cand_sorted = jnp.clip(cand_sorted, 0, n - 1).reshape(q, 27 * cap)
+    cand_mask = cand_mask.reshape(q, 27 * cap)
+    cand_idx = order[cand_sorted]  # original point indices
+    cand_pts = sorted_pts[cand_sorted.reshape(-1)].reshape(q, 27 * cap, 3)
+    return cand_idx, cand_pts, cand_mask
+
+
+def knn_grid(points, queries, k, cell_size, *, grid_dim=1024, cap=48,
+             n_global=256, points_mask=None, chunk=8192,
+             count_target=None):
+    """Adaptive grid-bucketed KNN: near-exact at a fraction of brute-force
+    work, robust to the order-of-magnitude density variation of lidar
+    scans.
+
+    Points are hashed into ``grid_dim``^3 cell grids at several cell sizes
+    (``cell_size``: float or tuple of levels, finest first — e.g. powers of
+    two spanning the expected k-NN radius range). Each query *adaptively*
+    picks the finest level whose 3x3x3 neighboring cells contain at least
+    ``count_target`` (default 3k) points, then scores only those cells'
+    points (up to ``cap`` per cell) plus ``n_global`` strided fallback
+    candidates. Exact whenever the chosen level's cells cover the true k-th
+    neighbor without overflowing ``cap``; by construction the chosen level
+    has just-enough population, so both failure modes are rare at any
+    density. Queries are processed in chunks to bound the candidate-gather
+    footprint.
+
+    Returns (indices [Q, k] int32, dist2 [Q, k] float32).
+    """
+    n = points.shape[0]
+    pts = points.astype(jnp.float32)
+    valid = jnp.ones((n,), bool) if points_mask is None else points_mask
+    if not isinstance(cell_size, (tuple, list)):
+        cell_size = (cell_size,)
+    levels = len(cell_size)
+    target = count_target or 3 * k
+
+    big = jnp.float32(1e9)
+    masked_pts = jnp.where(valid[:, None], pts, big)
+    origin = jnp.min(masked_pts, axis=0)
+
+    # per-level sorted cell keys
+    orders, sorted_cids = [], []
+    for cs in cell_size:
+        cell = jnp.clip(jnp.floor((pts - origin[None, :]) / cs), 0,
+                        grid_dim - 1).astype(jnp.int32)
+        cid = (cell[:, 2] * grid_dim + cell[:, 1]) * grid_dim + cell[:, 0]
+        cid = jnp.where(valid, cid, jnp.iinfo(jnp.int32).max)
+        order = jnp.argsort(cid).astype(jnp.int32)
+        orders.append(order)
+        sorted_cids.append(cid[order])
+    order_all = jnp.stack(orders)  # [L, N]
+
+    offsets = jnp.asarray(
+        [[dx, dy, dz] for dz in (-1, 0, 1) for dy in (-1, 0, 1)
+         for dx in (-1, 0, 1)], jnp.int32)  # [27, 3]
+    slot = jnp.arange(cap, dtype=jnp.int32)
+
+    if n_global > 0:
+        stride = max(n // n_global, 1)
+        g_idx = (jnp.arange(n_global, dtype=jnp.int32) * stride) % n
+        g_mask = valid[g_idx]
+        g_pts = pts[g_idx]
+
+    def one_chunk(qc):
+        nq = qc.shape[0]
+        starts, counts = [], []
+        for li, cs in enumerate(cell_size):
+            qcell = jnp.clip(
+                jnp.floor((qc - origin[None, :]) / cs), 0,
+                grid_dim - 1).astype(jnp.int32)
+            ncell = qcell[:, None, :] + offsets[None, :, :]
+            in_grid = jnp.all((ncell >= 0) & (ncell < grid_dim), axis=-1)
+            ncid = (ncell[..., 2] * grid_dim +
+                    ncell[..., 1]) * grid_dim + ncell[..., 0]
+            s = jnp.searchsorted(sorted_cids[li],
+                                 ncid.reshape(-1)).astype(jnp.int32)
+            e = jnp.searchsorted(sorted_cids[li], ncid.reshape(-1),
+                                 side="right").astype(jnp.int32)
+            cnt = jnp.where(in_grid.reshape(-1), e - s, 0)
+            starts.append(s.reshape(nq, 27))
+            counts.append(cnt.reshape(nq, 27))
+        start_l = jnp.stack(starts)  # [L, nq, 27]
+        count_l = jnp.stack(counts)
+        total_l = jnp.sum(count_l, axis=2)  # [L, nq]
+
+        # finest level with enough population (fallback: coarsest)
+        enough = total_l >= target  # [L, nq]
+        lsel = jnp.argmax(enough, axis=0)
+        lsel = jnp.where(jnp.any(enough, axis=0), lsel,
+                         levels - 1).astype(jnp.int32)  # [nq]
+
+        take = lambda arr: jnp.take_along_axis(
+            arr, lsel[None, :, None], axis=0)[0]  # [nq, 27]
+        start_sel = take(start_l)
+        count_sel = take(count_l)
+
+        cand_sorted = start_sel[:, :, None] + slot[None, None, :]
+        cand_mask = slot[None, None, :] < count_sel[:, :, None]
+        cand_sorted = jnp.clip(cand_sorted, 0, n - 1).reshape(nq, 27 * cap)
+        cand_mask = cand_mask.reshape(nq, 27 * cap)
+        cand_idx = order_all[lsel[:, None], cand_sorted]  # [nq, 27*cap]
+        cand_pts = pts[cand_idx]
+
+        if n_global > 0:
+            cand_idx = jnp.concatenate(
+                [cand_idx,
+                 jnp.broadcast_to(g_idx[None, :], (nq, n_global))], axis=1)
+            cand_pts = jnp.concatenate(
+                [cand_pts,
+                 jnp.broadcast_to(g_pts[None], (nq, n_global, 3))], axis=1)
+            cand_mask = jnp.concatenate(
+                [cand_mask,
+                 jnp.broadcast_to(g_mask[None, :], (nq, n_global))], axis=1)
+
+        diff = cand_pts - qc[:, None, :]
+        d2 = jnp.sum(diff * diff, axis=-1)
+        d2 = jnp.where(cand_mask, d2, jnp.inf)
+        neg, sel = jax.lax.top_k(-d2, k)
+        idx = jnp.take_along_axis(cand_idx, sel, axis=1)
+        return idx.astype(jnp.int32), -neg
+
+    return _chunked(one_chunk, queries.astype(jnp.float32), chunk)
+
+
+def build_knn_pyramid(points, k, sub_ratios, *, num_interp=1,
+                      method="exact", grid_cells=None):
     """Per-layer (neighbors, pool, up) index pyramid for encoder/decoder nets.
 
     TPU-first version of the host-side loop in the reference RandLA-Net
@@ -149,18 +314,34 @@ def build_knn_pyramid(points, k, sub_ratios, *, num_interp=1):
     entirely on device inside the jitted step. The input ``points`` must be in
     random order (sub-sampling takes the first N/r rows).
 
+    Args:
+        method: 'exact' (brute-force MXU + top_k), 'approx'
+            (jax.lax.approx_min_k), or 'grid' (adaptive grid-bucketed,
+            ~99% recall at a fraction of the cost — the fast path).
+        grid_cells: cell-size levels for method='grid' (finest first). The
+            adaptive level selection makes one set work for every pyramid
+            level despite the 2x-per-level spacing growth.
+
     Returns dict with lists: coords, neighbor_indices [N_i, k],
     sub_idx [N_{i+1}, k], interp_idx [N_i, num_interp].
     """
+    if method == "grid":
+        cells = tuple(grid_cells or (0.25, 1.0, 4.0, 16.0))
+        search = functools.partial(knn_grid, cell_size=cells)
+    elif method == "approx":
+        search = functools.partial(knn_search, exact=False)
+    else:
+        search = knn_search
+
     coords, neighbors, pools, ups = [], [], [], []
     pc = points
     for ratio in sub_ratios:
         n = pc.shape[0]
-        nbr, _ = knn_search(pc, pc, k)
+        nbr, _ = search(pc, pc, k)
         n_sub = n // ratio
         sub = pc[:n_sub]
         pool = nbr[:n_sub]
-        up, _ = knn_search(sub, pc, num_interp)
+        up, _ = search(sub, pc, num_interp)
         coords.append(pc)
         neighbors.append(nbr)
         pools.append(pool)
