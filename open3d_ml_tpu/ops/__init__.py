@@ -9,7 +9,7 @@ from .interpolation import (inverse_distance_weights, three_interpolate,
                             three_nn, trilinear_devoxelize,
                             trilinear_voxelize_coords)
 from .iou import iou_3d, iou_aligned, iou_bev
-from .neighbors import (ball_query, build_knn_pyramid, knn_search,
+from .neighbors import (ball_query, build_knn_pyramid, knn_grid, knn_search,
                         nearest_neighbor, radius_search)
 from .nms import multiclass_nms, nms_bev
 from .ragged import (RaggedArray, dense_to_ragged_mask, masked_max,
@@ -25,7 +25,8 @@ from .voxelize import (VoxelData, gather_voxel_points, voxel_feature_mean,
 __all__ = [
     "inverse_distance_weights", "three_interpolate", "three_nn",
     "trilinear_devoxelize", "trilinear_voxelize_coords", "iou_3d",
-    "iou_aligned", "iou_bev", "ball_query", "build_knn_pyramid", "knn_search",
+    "iou_aligned", "iou_bev", "ball_query", "build_knn_pyramid", "knn_grid",
+    "knn_search",
     "nearest_neighbor", "radius_search", "multiclass_nms", "nms_bev",
     "RaggedArray", "dense_to_ragged_mask", "masked_max", "masked_mean",
     "ragged_to_dense", "reduce_subarrays_sum", "row_splits_to_segment_ids",

@@ -199,7 +199,7 @@ def knn_grid(points, queries, k, cell_size, *, grid_dim=1024, cap=48,
     (``cell_size``: float or tuple of levels, finest first — e.g. powers of
     two spanning the expected k-NN radius range). Each query *adaptively*
     picks the finest level whose 3x3x3 neighboring cells contain at least
-    ``count_target`` (default 3k) points, then scores only those cells'
+    ``count_target`` (default 4k) points, then scores only those cells'
     points (up to ``cap`` per cell) plus ``n_global`` strided fallback
     candidates. Exact whenever the chosen level's cells cover the true k-th
     neighbor without overflowing ``cap``; by construction the chosen level
@@ -215,7 +215,7 @@ def knn_grid(points, queries, k, cell_size, *, grid_dim=1024, cap=48,
     if not isinstance(cell_size, (tuple, list)):
         cell_size = (cell_size,)
     levels = len(cell_size)
-    target = count_target or 3 * k
+    target = count_target or 4 * k
 
     big = jnp.float32(1e9)
     masked_pts = jnp.where(valid[:, None], pts, big)

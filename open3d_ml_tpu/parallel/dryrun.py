@@ -16,16 +16,33 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def dryrun_train_step(n_devices, num_points=512, num_classes=8):
+def dryrun_train_step(n_devices, num_points=512, num_classes=8,
+                      model_parallel=None):
     """Build an n-device mesh, jit the full RandLA-Net train step over it,
-    run ONE step on tiny shapes. Returns the (finite) loss as a float."""
+    run ONE step on tiny shapes. Returns the (finite) loss as a float.
+
+    With >= 4 devices the mesh is 2-D (data x model): the batch shards on
+    "data" and every Dense kernel's output axis shards on "model" (tensor
+    parallelism), so the dry run exercises both mesh axes and the XLA
+    collectives between them.
+    """
     from ..models import RandLANet
 
+    if model_parallel is None:
+        model_parallel = 2 if n_devices >= 4 and n_devices % 2 == 0 else 1
+    dp = n_devices // model_parallel
     devices = jax.devices()[:n_devices]
-    mesh = Mesh(np.asarray(devices).reshape(n_devices, 1),
+    mesh = Mesh(np.asarray(devices).reshape(dp, model_parallel),
                 axis_names=("data", "model"))
     bsh = NamedSharding(mesh, P("data"))
     rsh = NamedSharding(mesh, P())
+
+    def param_sharding(path, x):
+        """Tensor-shard Dense kernels on the model axis when divisible."""
+        if (model_parallel > 1 and x.ndim == 2 and
+                x.shape[-1] % model_parallel == 0):
+            return NamedSharding(mesh, P(None, "model"))
+        return rsh
 
     model = RandLANet(num_points=num_points, num_classes=num_classes,
                       ignored_label_inds=[0], in_channels=3, dim_features=8,
@@ -49,7 +66,9 @@ def dryrun_train_step(n_devices, num_points=512, num_classes=8):
     key = jax.random.PRNGKey(0)
     variables = net.init({"params": key, "dropout": key}, batch,
                          training=False)
-    params = jax.device_put(variables["params"], rsh)
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, x: jax.device_put(x, param_sharding(path, x)),
+        variables["params"])
     batch_stats = jax.device_put(variables["batch_stats"], rsh)
     tx = optax.adam(1e-3)
     opt_state = jax.device_put(tx.init(params), rsh)
@@ -80,8 +99,9 @@ def dryrun_train_step(n_devices, num_points=512, num_classes=8):
         new_params = optax.apply_updates(params, updates)
         return new_params, new_bs, new_opt, loss
 
-    jitted = jax.jit(train_step,
-                     in_shardings=(rsh, rsh, rsh, bsh, rsh))
+    # shardings come from the committed placements of the inputs; XLA
+    # propagates them through the step and inserts the collectives
+    jitted = jax.jit(train_step)
     new_params, new_bs, new_opt, loss = jitted(
         params, batch_stats, opt_state, batch, key)
     loss = float(loss)

@@ -97,6 +97,36 @@ class TestKNN:
             else:
                 assert got_sets[i] <= expect and len(got_sets[i]) == 16
 
+    def test_knn_grid_near_exact(self, rng):
+        """Adaptive grid KNN: first neighbors exact, overall near-exact."""
+        pts = rng.uniform(0, 4, (400, 3)).astype(np.float32)
+        idx, d2 = ops.knn_grid(jnp.asarray(pts), jnp.asarray(pts[:100]), 8,
+                               (0.5, 1.0, 2.0), n_global=0)
+        tree = cKDTree(pts)
+        rd, _ = tree.query(pts[:100], k=8)
+        got = np.sqrt(np.asarray(d2))
+        # self + nearest neighbor always exact
+        np.testing.assert_allclose(got[:, :2], rd[:, :2], atol=1e-4)
+        # >= 97% of all neighbor slots exact
+        frac = np.mean(np.abs(got - rd) < 1e-4)
+        assert frac > 0.97, frac
+
+    def test_knn_grid_recall_varying_density(self, rng):
+        n = 5000
+        r = rng.uniform(1, 30, n)
+        th = rng.uniform(0, 2 * np.pi, n)
+        pts = np.column_stack([
+            r * np.cos(th), r * np.sin(th),
+            0.1 * rng.standard_normal(n)
+        ]).astype(np.float32)
+        idx, _ = ops.knn_grid(jnp.asarray(pts), jnp.asarray(pts), 8,
+                              (0.25, 1.0, 4.0, 16.0))
+        idx = np.asarray(idx)
+        _, ri = cKDTree(pts).query(pts, k=8)
+        recall = np.mean(
+            [len(set(idx[i]) & set(ri[i])) / 8 for i in range(0, n, 23)])
+        assert recall > 0.93, recall
+
     def test_ball_query_fills(self, rng):
         pts = rng.standard_normal((100, 3)).astype(np.float32)
         q = pts[:10] + 100.0  # far away: no in-radius neighbors
