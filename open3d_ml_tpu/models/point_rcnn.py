@@ -352,6 +352,108 @@ class RCNNNet(nn.Module):
         return cls, reg
 
 
+def sample_rois_for_rcnn(rois, roi_valid, gt, gt_count, key, *,
+                         roi_per_image=64, fg_ratio=0.5, reg_fg_thresh=0.55,
+                         cls_bg_thresh=0.45, cls_bg_thresh_lo=0.05,
+                         hard_bg_ratio=0.8):
+    """Fixed-quota fg/bg roi sampling (reference ProposalTargetLayer.
+    sample_rois_for_rcnn :1390-1470) for ONE sample.
+
+    Returns (sel_rois [R,7], sel_gt [R,7], sel_iou [R], sel_valid [R]).
+    Quotas are filled by randomized-priority top-k instead of index
+    compaction; unfillable slots are marked invalid.
+    """
+    from ..ops.iou import iou_3d
+
+    g = gt.shape[0]
+    gmask = jnp.arange(g) < gt_count
+    # camera-frame boxes (x,y,z,h,w,l,ry), y at bottom with span [y-h, y]:
+    # convert to the iou_3d convention [x, y', z, w, h, l, ry], y' = y - h
+    def conv(b):
+        return jnp.stack([b[:, 0], b[:, 1] - b[:, 3], b[:, 2], b[:, 4],
+                          b[:, 3], b[:, 5], b[:, 6]], axis=-1)
+
+    iou = iou_3d(conv(rois), conv(gt), xp=jnp)  # [M, G]
+    iou = jnp.where(gmask[None, :], iou, -1.0)
+    max_iou = jnp.max(iou, axis=1)
+    gt_arg = jnp.argmax(iou, axis=1)
+
+    fg = (max_iou >= reg_fg_thresh) & roi_valid
+    easy_bg = (max_iou < cls_bg_thresh_lo) & roi_valid
+    hard_bg = (max_iou >= cls_bg_thresh_lo) & (max_iou < cls_bg_thresh) & \
+        roi_valid
+
+    fg_quota = int(np.round(fg_ratio * roi_per_image))
+    bg_quota = roi_per_image - fg_quota
+    hard_quota = int(np.round(bg_quota * hard_bg_ratio))
+    easy_quota = bg_quota - hard_quota
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    m = rois.shape[0]
+
+    def pick(mask, quota, k):
+        pri = jnp.where(mask, jax.random.uniform(k, (m,)), -jnp.inf)
+        val, idx = jax.lax.top_k(pri, quota)
+        return idx.astype(jnp.int32), jnp.isfinite(val)
+
+    fg_idx, fg_ok = pick(fg, fg_quota, k1)
+    hb_idx, hb_ok = pick(hard_bg, hard_quota, k2)
+    eb_idx, eb_ok = pick(easy_bg, easy_quota, k3)
+    # unfilled easy-bg slots fall back to hard bg and vice versa (both empty
+    # => slot invalid)
+    sel = jnp.concatenate([fg_idx, hb_idx, eb_idx])
+    ok = jnp.concatenate([fg_ok, hb_ok, eb_ok])
+
+    return rois[sel], gt[gt_arg[sel]], max_iou[sel], ok
+
+
+def rcnn_targets(xyz, pts_feature, rois, roi_valid, gt, gt_count, key, cfg):
+    """Pool points + build RCNN training targets for ONE sample (reference
+    ProposalTargetLayer.forward :1325-1388, minus per-roi jitter aug).
+
+    Returns dict with pts_input [R, P, 5+C], cls_label [R], reg_valid [R],
+    gt_ct [R, 7] (canonical-frame gt), roi_boxes [R, 7].
+    """
+    sel_rois, sel_gt, sel_iou, sel_ok = sample_rois_for_rcnn(
+        rois, roi_valid, gt, gt_count, key,
+        roi_per_image=cfg["roi_per_image"], fg_ratio=cfg["fg_ratio"],
+        reg_fg_thresh=cfg["reg_fg_thresh"],
+        cls_bg_thresh=cfg["cls_bg_thresh"],
+        cls_bg_thresh_lo=cfg["cls_bg_thresh_lo"],
+        hard_bg_ratio=cfg["hard_bg_ratio"])
+
+    pooled, empty = roipool3d(xyz, pts_feature, sel_rois,
+                              cfg["pool_extra_width"], cfg["num_points"])
+    # canonical transform
+    roi_ry = sel_rois[:, 6] % (2 * np.pi)
+    roi_center = sel_rois[:, 0:3]
+    pts = pooled[:, :, 0:3] - roi_center[:, None, :]
+    ang = jnp.broadcast_to(sel_rois[:, 6:7], pts.shape[:2])
+    pts = rotate_pc_along_y(pts, ang)
+    pooled = jnp.concatenate([pts, pooled[:, :, 3:]], axis=-1)
+
+    gt_ct = sel_gt.at[:, 0:3].add(-roi_center)
+    gt_ct = gt_ct.at[:, 6].add(-roi_ry)
+    gt_ct = jnp.concatenate(
+        [rotate_pc_along_y(gt_ct[:, None, 0:3], roi_ry[:, None])[:, 0],
+         gt_ct[:, 3:]], axis=-1)
+
+    valid = sel_ok & (~empty)
+    reg_valid = (sel_iou > cfg["reg_fg_thresh"]) & valid
+    cls_label = (sel_iou > cfg["cls_fg_thresh"]).astype(jnp.int32)
+    ambiguous = (sel_iou > cfg["cls_bg_thresh"]) & \
+        (sel_iou < cfg["cls_fg_thresh"])
+    cls_label = jnp.where(~valid | ambiguous, -1, cls_label)
+
+    return {
+        "pts_input": pooled,
+        "cls_label": cls_label,
+        "reg_valid_mask": reg_valid,
+        "gt_of_rois": gt_ct,
+        "roi_boxes3d": sel_rois,
+    }
+
+
 # --------------------------------------------------------------------------
 # model wrapper
 # --------------------------------------------------------------------------
@@ -389,6 +491,128 @@ class ProposalConfig:
         c += self.num_head_bin * 2 + 3
         c += loc_y_bins * 2 if self.get_y_by_bin else 1
         return c
+
+
+class PointRCNNNet(nn.Module):
+    """Combined two-stage network over a padded batch.
+
+    mode='RPN': returns {'cls', 'reg', 'xyz', 'feats'} for RPN training.
+    mode='RCNN': RPN runs frozen (stop_gradient), proposals are decoded and
+    NMS'd, rois are target-sampled (training) or pooled directly (eval), and
+    the refinement head runs per roi. Needs an rng stream 'sampling' when
+    training.
+    """
+    rpn: RPNNet
+    rcnn: RCNNNet
+    mode: str
+    rpn_head: dict  # FrozenDict of ProposalConfig kwargs
+    target_cfg: dict
+    score_thres: float = 0.3
+
+    def _proposals(self, scores, reg, xyz, training):
+        hc = ProposalConfig(**dict(self.rpn_head))
+        boxes = decode_bbox_target(
+            xyz, reg, hc.loc_scope, hc.loc_bin_size, hc.num_head_bin,
+            hc.mean_size, get_xz_fine=hc.loc_xz_fine,
+            get_y_by_bin=hc.get_y_by_bin, get_ry_fine=hc.get_ry_fine,
+            loc_y_scope=hc.loc_y_scope, loc_y_bin_size=hc.loc_y_bin_size)
+        boxes = boxes.at[:, 1].add(boxes[:, 3] / 2)
+        nms_post = hc.nms_post if training else hc.nms_post_val
+        nms_thres = hc.nms_thres if training else hc.nms_thres_val
+        nms_pre = min(hc.nms_pre, boxes.shape[0])
+        dist = boxes[:, 2]
+        buckets = [((dist >= 0) & (dist <= 40.0), int(nms_pre * 0.7),
+                    int(nms_post * 0.7)),
+                   ((dist > 40.0) & (dist <= 80.0),
+                    nms_pre - int(nms_pre * 0.7),
+                    nms_post - int(nms_post * 0.7))]
+        # caps can exceed the candidate count on tiny inputs
+        buckets = [(m, p, min(q, p)) for m, p, q in buckets]
+        out_b, out_s, out_v = [], [], []
+        for mask, pre_n, post_n in buckets:
+            sc = jnp.where(mask, scores, -jnp.inf)
+            top_s, top_i = jax.lax.top_k(sc, pre_n)
+            bsel = boxes[top_i]
+            bev = bsel[:, [0, 2, 5, 4, 6]]
+            keep = nms_bev(bev, top_s, nms_thres,
+                           valid_mask=jnp.isfinite(top_s))
+            ksc = jnp.where(keep, top_s, -jnp.inf)
+            post_s, post_i = jax.lax.top_k(ksc, post_n)
+            out_b.append(bsel[post_i])
+            out_s.append(post_s)
+            out_v.append(jnp.isfinite(post_s))
+        return (jnp.concatenate(out_b, 0), jnp.concatenate(out_s, 0),
+                jnp.concatenate(out_v, 0))
+
+    @nn.compact
+    def __call__(self, inputs, training=False):
+        points = inputs["point"]  # [B, N, 3]
+        b = points.shape[0]
+
+        vrpn = nn.vmap(
+            lambda mdl, x: mdl(x, training=training and self.mode == "RPN"),
+            variable_axes={"params": None, "batch_stats": None},
+            split_rngs={"params": False, "dropout": True},
+            in_axes=(0,), out_axes=0, axis_name="batch")
+        cls, reg, xyz, feats = vrpn(self.rpn, points)
+
+        if self.mode == "RPN":
+            return {"cls": cls, "reg": reg, "xyz": xyz, "feats": feats}
+
+        cls, reg, xyz, feats = jax.tree.map(jax.lax.stop_gradient,
+                                            (cls, reg, xyz, feats))
+        scores_raw = cls[..., 0]
+        rois, roi_scores, roi_valid = jax.vmap(
+            lambda s, r, x: self._proposals(s, r, x, training))(
+                scores_raw, reg, xyz)
+
+        seg_mask = (jax.nn.sigmoid(scores_raw) >
+                    self.score_thres).astype(jnp.float32)
+        depth = jnp.linalg.norm(xyz, axis=-1)
+        pts_feature = jnp.concatenate(
+            [seg_mask[..., None], (depth / 70.0 - 0.5)[..., None], feats],
+            axis=-1)  # [B, N, C+2]
+
+        tcfg = dict(self.target_cfg)
+        out = {"rois": rois, "scores": roi_scores, "valid": roi_valid}
+        if training:
+            key = self.make_rng("sampling")
+            keys = jax.random.split(key, b)
+            target = jax.vmap(
+                lambda x, f, r, rv, g, gc, k: rcnn_targets(
+                    x, f, r, rv, g, gc, k, tcfg))(
+                xyz, pts_feature, rois, roi_valid, inputs["bboxes"],
+                inputs["bbox_count"], keys)
+            pts_input = target["pts_input"]
+        else:
+            def pool(x, f, r):
+                pooled, empty = roipool3d(x, f, r,
+                                          tcfg["pool_extra_width"],
+                                          tcfg["num_points"])
+                roi_ry = r[:, 6]
+                pts = pooled[:, :, 0:3] - r[:, None, 0:3]
+                ang = jnp.broadcast_to(r[:, 6:7], pts.shape[:2])
+                pts = rotate_pc_along_y(pts, ang)
+                return jnp.concatenate([pts, pooled[:, :, 3:]], axis=-1)
+
+            pts_input = jax.vmap(pool)(xyz, pts_feature, rois)
+            target = {}
+
+        r = pts_input.shape[1]
+        flat = pts_input.reshape(b * r, pts_input.shape[2],
+                                 pts_input.shape[3])
+        vrcnn = nn.vmap(
+            lambda mdl, x: mdl(x, training=training),
+            variable_axes={"params": None, "batch_stats": None},
+            split_rngs={"params": False, "dropout": True},
+            in_axes=(0,), out_axes=0, axis_name="batch")
+        rcnn_cls, rcnn_reg = vrcnn(self.rcnn, flat)
+
+        out["cls"] = rcnn_cls.reshape(b, r, -1)
+        out["reg"] = rcnn_reg.reshape(b, r, -1)
+        for k, v in target.items():
+            out[k] = v
+        return out
 
 
 class PointRCNN(ObjdetBaseModel):
@@ -460,13 +684,40 @@ class PointRCNN(ObjdetBaseModel):
                             [512, 512]]))),
         }
         from flax.core import FrozenDict
-        from .common import BatchedNet
         single = RPNNet(backbone_cfg=FrozenDict(backbone_cfg),
                         cls_out_ch=tuple(rpn.get("cls_out_ch", [128])),
                         reg_out_ch=tuple(rpn.get("reg_out_ch", [128])),
                         reg_channels=self.rpn_head_cfg.reg_channels,
                         db_ratio=rpn.get("db_ratio", 0.5))
-        return BatchedNet(net=single)
+        hc = self.rpn_head_cfg
+        rpn_head = FrozenDict({
+            "nms_pre": hc.nms_pre, "nms_post": hc.nms_post,
+            "nms_thres": hc.nms_thres, "nms_post_val": hc.nms_post_val,
+            "nms_thres_val": hc.nms_thres_val,
+            "mean_size": tuple(np.atleast_1d(hc.mean_size).tolist()),
+            "loc_xz_fine": hc.loc_xz_fine, "loc_scope": hc.loc_scope,
+            "loc_bin_size": hc.loc_bin_size,
+            "num_head_bin": hc.num_head_bin,
+            "get_y_by_bin": hc.get_y_by_bin, "get_ry_fine": hc.get_ry_fine,
+            "loc_y_scope": hc.loc_y_scope,
+            "loc_y_bin_size": hc.loc_y_bin_size,
+        })
+        tc = dict(self.rcnn_cfg.get("target_head", {}) or {})
+        target_cfg = FrozenDict({
+            "pool_extra_width": tc.get("pool_extra_width", 1.0),
+            "num_points": tc.get("num_points", 512),
+            "reg_fg_thresh": tc.get("reg_fg_thresh", 0.55),
+            "cls_fg_thresh": tc.get("cls_fg_thresh", 0.6),
+            "cls_bg_thresh": tc.get("cls_bg_thresh", 0.45),
+            "cls_bg_thresh_lo": tc.get("cls_bg_thresh_lo", 0.05),
+            "fg_ratio": tc.get("fg_ratio", 0.5),
+            "roi_per_image": tc.get("roi_per_image", 64),
+            "hard_bg_ratio": tc.get("hard_bg_ratio", 0.8),
+        })
+        return PointRCNNNet(rpn=single, rcnn=self.get_rcnn_net(),
+                            mode=self.mode, rpn_head=rpn_head,
+                            target_cfg=target_cfg,
+                            score_thres=self.score_thres)
 
     def get_rcnn_net(self):
         rcnn = self.rcnn_cfg
@@ -512,6 +763,8 @@ class PointRCNN(ObjdetBaseModel):
                    ((dist > 40.0) & (dist <= 80.0),
                     nms_pre - int(nms_pre * 0.7),
                     nms_post - int(nms_post * 0.7))]
+        # caps can exceed the candidate count on tiny inputs
+        buckets = [(m, p, min(q, p)) for m, p, q in buckets]
         out_b, out_s, out_v = [], [], []
         for mask, pre_n, post_n in buckets:
             sc = jnp.where(mask, rpn_scores, -jnp.inf)
@@ -671,18 +924,75 @@ class PointRCNN(ObjdetBaseModel):
             "reg": loss_reg * self.loss_weight[1],
         }
 
+    def rcnn_loss(self, results, inputs):
+        """BCE roi classification + bin-based refinement regression
+        (reference RCNN.loss :913-963)."""
+        hc = self.rcnn_head_cfg
+        cls = results["cls"].reshape(-1)
+        reg = results["reg"].reshape(-1, hc.reg_channels)
+        label = results["cls_label"].reshape(-1)
+        reg_valid = results["reg_valid_mask"].reshape(-1)
+        gt_ct = results["gt_of_rois"].reshape(-1, 7)
+
+        valid = (label >= 0).astype(jnp.float32)
+        p = jax.nn.sigmoid(cls)
+        bce = -(label * jnp.log(p + 1e-7) +
+                (1 - label) * jnp.log(1 - p + 1e-7))
+        loss_cls = jnp.sum(bce * valid) / jnp.maximum(valid.sum(), 1.0)
+
+        fg = reg_valid.astype(jnp.float32)
+        loss_loc, loss_angle, loss_size = get_reg_loss(
+            reg, gt_ct, hc.loc_scope, hc.loc_bin_size, hc.num_head_bin,
+            hc.mean_size, fg, get_xz_fine=True,
+            get_y_by_bin=hc.get_y_by_bin, loc_y_scope=hc.loc_y_scope,
+            loc_y_bin_size=hc.loc_y_bin_size, get_ry_fine=True)
+        loss_reg = loss_loc + loss_angle + 3 * loss_size
+        return {"cls": loss_cls, "reg": loss_reg}
+
     def get_loss(self, results, inputs):
         if self.mode == "RPN":
             return self.rpn_loss(results, inputs)
-        raise NotImplementedError(
-            "RCNN-stage training loss is wired via the rcnn trainer; "
-            "see docs/pointrcnn.md for the stage-wise recipe.")
+        return self.rcnn_loss(results, inputs)
+
+    def freeze_rpn_mask(self, params):
+        """optax mask: True = trainable (the reference freezes the RPN during
+        RCNN-stage training, point_rcnn.py:162-165)."""
+        import jax
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: not any(
+                getattr(p, "key", "") == "rpn" for p in path), params)
 
     def inference_end(self, results, inputs):
-        """Convert (per-sample) proposals to BEVBox3D lists."""
-        boxes_b = np.asarray(results["rois"])
-        scores_b = np.asarray(results["scores"])
-        valid_b = np.asarray(results["valid"])
+        """Convert network outputs to BEVBox3D lists.
+
+        RPN mode returns empty lists (reference :375-377); RCNN mode decodes
+        the refined boxes around each roi and NMS-filters them.
+        """
+        if self.mode == "RPN":
+            b = results["cls"].shape[0] if isinstance(results, dict) else 1
+            return [[] for _ in range(b)]
+
+        hc = self.rcnn_head_cfg
+
+        def refine_one(rois, rcnn_cls, rcnn_reg, roi_valid):
+            boxes = decode_bbox_target(
+                rois, rcnn_reg, hc.loc_scope, hc.loc_bin_size,
+                hc.num_head_bin, hc.mean_size, get_xz_fine=True,
+                get_y_by_bin=hc.get_y_by_bin, loc_y_scope=hc.loc_y_scope,
+                loc_y_bin_size=hc.loc_y_bin_size, get_ry_fine=True)
+            scores = jax.nn.sigmoid(rcnn_cls[:, 0])
+            m = roi_valid & (scores > self.score_thres)
+            bev = boxes[:, [0, 2, 5, 4, 6]]
+            keep = nms_bev(bev, jnp.where(m, scores, -jnp.inf),
+                           hc.nms_thres, valid_mask=m)
+            return boxes, scores, keep & m
+
+        boxes_b, scores_b, valid_b = jax.jit(jax.vmap(refine_one))(
+            jnp.asarray(results["rois"]), jnp.asarray(results["cls"]),
+            jnp.asarray(results["reg"]), jnp.asarray(results["valid"]))
+        boxes_b = np.asarray(boxes_b)
+        scores_b = np.asarray(scores_b)
+        valid_b = np.asarray(valid_b)
         b = boxes_b.shape[0]
         calibs = inputs.get("calib")
         if isinstance(calibs, dict):
@@ -697,8 +1007,7 @@ class PointRCNN(ObjdetBaseModel):
             calib = calibs[i]
             world_cam = calib.get("world_cam") if calib else None
             cam_img = calib.get("cam_img") if calib else None
-            scores = 1 / (1 + np.exp(-scores_b[i]))  # sigmoid of rpn score
-            for box, score, ok in zip(boxes_b[i], scores, valid_b[i]):
+            for box, score, ok in zip(boxes_b[i], scores_b[i], valid_b[i]):
                 if not ok or score < self.score_thres:
                     continue
                 pos = box[:3]

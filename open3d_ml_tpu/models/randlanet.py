@@ -224,15 +224,22 @@ class BatchedNet(nn.Module):
         if ("neighbor_indices" not in inputs and
                 getattr(self.net, "knn_on_device", False)):
             b = inputs["coords"].shape[0]
-            pyrs = [
-                build_knn_pyramid(inputs["coords"][i],
-                                  self.net.num_neighbors,
-                                  list(self.net.sub_sampling_ratio),
-                                  method=self.net.knn_method,
-                                  grid_cells=self.net.grid_cells or None)
-                for i in range(b)
-            ]
-            stacked = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *pyrs)
+            build = lambda c: build_knn_pyramid(
+                c, self.net.num_neighbors,
+                list(self.net.sub_sampling_ratio),
+                method=self.net.knn_method,
+                grid_cells=self.net.grid_cells or None)
+            if self.net.knn_method == "exact":
+                # batched top_k over huge widths lowers to a full sort;
+                # unroll instead (compile cost scales with batch, runtime
+                # keeps the fast TopK call)
+                pyrs = [build(inputs["coords"][i]) for i in range(b)]
+                stacked = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0),
+                                       *pyrs)
+            else:
+                # grid/approx paths only top_k over ~1-2k candidates: safe
+                # (and 4x smaller programs) under vmap
+                stacked = jax.vmap(build)(inputs["coords"])
             inputs = dict(inputs)
             inputs["coords_pyramid"] = stacked["coords"]
             inputs["neighbor_indices"] = stacked["neighbor_indices"]

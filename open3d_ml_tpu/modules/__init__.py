@@ -1,3 +1,3 @@
-from . import losses, metrics, schedulers
+from . import losses, metrics, optimizers, schedulers
 
-__all__ = ["losses", "metrics", "schedulers"]
+__all__ = ["losses", "metrics", "optimizers", "schedulers"]

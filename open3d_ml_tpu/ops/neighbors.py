@@ -282,21 +282,21 @@ def knn_grid(points, queries, k, cell_size, *, grid_dim=1024, cap=48,
         cand_sorted = jnp.clip(cand_sorted, 0, n - 1).reshape(nq, 27 * cap)
         cand_mask = cand_mask.reshape(nq, 27 * cap)
         cand_idx = order_all[lsel[:, None], cand_sorted]  # [nq, 27*cap]
-        cand_pts = pts[cand_idx]
 
         if n_global > 0:
             cand_idx = jnp.concatenate(
                 [cand_idx,
                  jnp.broadcast_to(g_idx[None, :], (nq, n_global))], axis=1)
-            cand_pts = jnp.concatenate(
-                [cand_pts,
-                 jnp.broadcast_to(g_pts[None], (nq, n_global, 3))], axis=1)
             cand_mask = jnp.concatenate(
                 [cand_mask,
                  jnp.broadcast_to(g_mask[None, :], (nq, n_global))], axis=1)
 
-        diff = cand_pts - qc[:, None, :]
-        d2 = jnp.sum(diff * diff, axis=-1)
+        # Transposed [axis, nq, W] layout: a [*, W, 3] gather would
+        # lane-pad the 3-vector to 128 on TPU (40x HBM waste).
+        d2 = jnp.zeros(cand_idx.shape, jnp.float32)
+        for ax in range(3):
+            diff_ax = pts[:, ax][cand_idx] - qc[:, ax:ax + 1]
+            d2 = d2 + diff_ax * diff_ax
         d2 = jnp.where(cand_mask, d2, jnp.inf)
         neg, sel = jax.lax.top_k(-d2, k)
         idx = jnp.take_along_axis(cand_idx, sel, axis=1)

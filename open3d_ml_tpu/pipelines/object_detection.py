@@ -74,11 +74,13 @@ class ObjectDetection(BasePipeline):
         model = self.model
         net = self.net
 
-        def train_step(state, batch):
+        def train_step(state, batch, rng_key):
             def loss_fn(params):
                 results, updates = net.apply(
                     {"params": params, "batch_stats": state.batch_stats},
-                    batch, training=True, mutable=["batch_stats"])
+                    batch, training=True, mutable=["batch_stats"],
+                    rngs={"dropout": rng_key,
+                          "sampling": jax.random.fold_in(rng_key, 1)})
                 losses = model.get_loss(results, batch)
                 total = sum(losses.values())
                 return total, (updates["batch_stats"], losses)
@@ -153,9 +155,10 @@ class ObjectDetection(BasePipeline):
             loader = BatchLoader(train_split, cfg.batch_size, batcher,
                                  num_workers=cfg.get("num_workers", 2),
                                  drop_last=True)
-            for batch in loader:
+            for step, batch in enumerate(loader):
                 dev_batch = self._device_batch(batch)
-                state, loss, losses = train_step(state, dev_batch)
+                key = jax.random.PRNGKey(epoch * 100003 + step)
+                state, loss, losses = train_step(state, dev_batch, key)
                 for k, v in losses.items():
                     self.losses.setdefault(k, []).append(float(v))
 

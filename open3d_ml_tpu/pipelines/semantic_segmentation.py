@@ -253,6 +253,8 @@ class SemanticSegmentation(BasePipeline):
                                        sampler=train_sampler,
                                        drop_last=True)
 
+            record_for = (cfg.get("summary") or {}).get("record_for",
+                                                        []) or []
             for step, batch in enumerate(train_loader):
                 dev_batch = self._device_batch(batch)
                 key = jax.random.fold_in(base_key,
@@ -260,6 +262,13 @@ class SemanticSegmentation(BasePipeline):
                 state, loss, cm = train_step(state, dev_batch, key)
                 self.metric_train.update_cm(cm)
                 self.losses.append(float(loss))
+                if step == 0 and "train" in record_for:
+                    from .summaries import record_summary
+                    results = eval_step(state, dev_batch)[2]
+                    record_summary(
+                        writer, cfg.get("summary"), "train", "semseg",
+                        batch["data"], np.asarray(results), epoch,
+                        getattr(dataset, "label_to_names", None))
 
             # validation
             model.trans_point_sampler = valid_sampler.get_point_sampler()

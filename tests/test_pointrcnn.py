@@ -52,20 +52,23 @@ class TestPointRCNN:
                                "head": {"nms_pre": 512, "nms_post": 64}})
         net = model.get_net()
         rng = np.random.default_rng(0)
-        pts = jnp.asarray(rng.uniform(-10, 10, (2, 1024, 3)), jnp.float32)
+        pts = {"point": jnp.asarray(rng.uniform(-10, 10, (2, 1024, 3)),
+                                    jnp.float32)}
         key = jax.random.PRNGKey(0)
         v = net.init({"params": key, "dropout": key}, pts, training=False)
         return model, net, v, pts, rng
 
     def test_rpn_forward(self, rpn_setup):
         model, net, v, pts, rng = rpn_setup
-        cls, reg, xyz, feats = net.apply(v, pts, training=False)
-        assert cls.shape == (2, 1024, 1)
-        assert reg.shape == (2, 1024, model.rpn_head_cfg.reg_channels)
+        out = net.apply(v, pts, training=False)
+        assert out["cls"].shape == (2, 1024, 1)
+        assert out["reg"].shape == (2, 1024,
+                                    model.rpn_head_cfg.reg_channels)
 
     def test_proposal_layer(self, rpn_setup):
         model, net, v, pts, rng = rpn_setup
-        cls, reg, xyz, feats = net.apply(v, pts, training=False)
+        out = net.apply(v, pts, training=False)
+        cls, reg, xyz = out["cls"], out["reg"], out["xyz"]
         boxes, scores, valid = model.proposal_layer(cls[0][:, 0], reg[0],
                                                     xyz[0])
         assert boxes.shape == (64, 7)
@@ -73,11 +76,10 @@ class TestPointRCNN:
 
     def test_rpn_loss(self, rpn_setup):
         model, net, v, pts, rng = rpn_setup
-        cls, reg, xyz, feats = net.apply(v, pts, training=False)
+        out = net.apply(v, pts, training=False)
         labels = jnp.asarray(rng.integers(-1, 2, (2, 1024)), jnp.int32)
         regs = jnp.asarray(rng.uniform(-1, 1, (2, 1024, 7)), jnp.float32)
-        losses = model.rpn_loss({"cls": cls, "reg": reg},
-                                {"labels": labels, "bboxes": regs})
+        losses = model.rpn_loss(out, {"labels": labels, "bboxes": regs})
         assert np.isfinite(float(losses["cls"]))
         assert np.isfinite(float(losses["reg"]))
 
@@ -115,3 +117,71 @@ class TestPointRCNN:
                                  nhb, [1.5])
         np.testing.assert_allclose(np.asarray(box)[0, :3], [tx, ty, tz],
                                    atol=1e-5)
+
+
+class TestPointRCNNStage2:
+
+    def test_rcnn_mode_train_and_loss(self):
+        from open3d_ml_tpu.models import PointRCNN
+        model = PointRCNN(
+            mode="RCNN", npoints=512,
+            rpn={"backbone": {"npoints": [128, 32, 8, 2]},
+                 "head": {"nms_pre": 256, "nms_post": 32,
+                          "mean_size": [1.52, 1.63, 3.88]}},
+            rcnn={"SA_config": {"npoints": [32, 8, -1],
+                                "radius": [0.2, 0.4, 100],
+                                "nsample": [16, 16, 16],
+                                "mlps": [[64, 64], [64, 128], [128, 256]]},
+                  "xyz_up_layer": [64, 64],
+                  "cls_out_ch": [128], "reg_out_ch": [128],
+                  "head": {"nms_pre": 32, "nms_post": 32,
+                           "get_ry_fine": True, "loc_scope": 1.5,
+                           "num_head_bin": 9,
+                           "mean_size": [1.52, 1.63, 3.88],
+                           "nms_thres": 0.1},
+                  "target_head": {"num_points": 64, "roi_per_image": 16}})
+        net = model.get_net()
+        rng = np.random.default_rng(0)
+        pts = jnp.asarray(rng.uniform(0, 30, (1, 512, 3)), jnp.float32)
+        gt = np.zeros((1, 24, 7), np.float32)
+        gt[0, 0] = [15, 1, 15, 1.5, 1.6, 3.9, 0.3]
+        batch = {"point": pts, "bboxes": jnp.asarray(gt),
+                 "bbox_count": jnp.asarray([1], jnp.int32)}
+        key = jax.random.PRNGKey(0)
+        v = net.init({"params": key, "dropout": key, "sampling": key},
+                     batch, training=True)
+        out, upd = net.apply(v, batch, training=True,
+                             mutable=["batch_stats"],
+                             rngs={"dropout": key, "sampling": key})
+        assert out["cls"].shape[1] == 16  # roi_per_image
+        losses = model.rcnn_loss(out, batch)
+        assert np.isfinite(float(losses["cls"]))
+        assert np.isfinite(float(losses["reg"]))
+        # eval path + refined decoding
+        out_e = net.apply(v, batch, training=False)
+        res = model.inference_end(
+            jax.tree.map(np.asarray, out_e), {"calib": None})
+        assert isinstance(res[0], list)
+
+    def test_freeze_rpn_mask(self):
+        from open3d_ml_tpu.models import PointRCNN
+        model = PointRCNN(mode="RCNN", npoints=256,
+                          rpn={"backbone": {"npoints": [64, 16, 4, 2]}})
+        net = model.get_net()
+        rng = np.random.default_rng(0)
+        pts = jnp.asarray(rng.uniform(0, 30, (1, 256, 3)), jnp.float32)
+        batch = {"point": pts,
+                 "bboxes": jnp.zeros((1, 24, 7)),
+                 "bbox_count": jnp.asarray([0], jnp.int32)}
+        key = jax.random.PRNGKey(0)
+        v = net.init({"params": key, "dropout": key, "sampling": key},
+                     batch, training=True)
+        mask = model.freeze_rpn_mask(v["params"])
+        import jax as _jax
+        flat = _jax.tree_util.tree_flatten_with_path(mask)[0]
+        rpn_flags = [val for path, val in flat
+                     if any(getattr(p, "key", "") == "rpn" for p in path)]
+        rcnn_flags = [val for path, val in flat
+                      if any(getattr(p, "key", "") == "rcnn" for p in path)]
+        assert rpn_flags and not any(rpn_flags)
+        assert rcnn_flags and all(rcnn_flags)
