@@ -29,7 +29,7 @@ def parse_args():
     parser = argparse.ArgumentParser(
         description="Train/test 3D perception pipelines",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter)
-    parser.add_argument("framework", nargs="?", default="jax",
+    parser.add_argument("--framework", default="jax",
                         help="ignored (single JAX backend); kept for "
                              "reference-CLI compatibility")
     parser.add_argument("-c", "--cfg_file", help="path to the config file")
@@ -72,6 +72,12 @@ def main():
         format="%(levelname)s - %(asctime)s - %(module)s - %(message)s")
     args, extra_dict = parse_args()
 
+    import os
+    if os.environ.get("OPEN3D_ML_TPU_FORCE_CPU") or \
+            args.device == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
     if args.distributed:
         import jax
         jax.distributed.initialize()
@@ -89,11 +95,14 @@ def main():
         Model = get_module("model", cfg.model.name)
         Dataset = get_module("dataset", cfg.dataset.name)
 
-        dataset = Dataset(**cfg_dataset.to_dict())
-        model = Model(**cfg_model.to_dict(), seed=int(rng.integers(1 << 31)))
-        pipeline = Pipeline(model, dataset,
-                            **cfg_pipeline.to_dict(),
-                            seed=int(rng.integers(1 << 31)))
+        ds_kwargs = cfg_dataset.to_dict()
+        model_kwargs = cfg_model.to_dict()
+        pipe_kwargs = cfg_pipeline.to_dict()
+        model_kwargs.setdefault("seed", int(rng.integers(1 << 31)))
+        pipe_kwargs.setdefault("seed", int(rng.integers(1 << 31)))
+        dataset = Dataset(**ds_kwargs)
+        model = Model(**model_kwargs)
+        pipeline = Pipeline(model, dataset, **pipe_kwargs)
     else:
         if args.pipeline is None or args.model is None or \
                 args.dataset is None:

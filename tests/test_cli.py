@@ -1,0 +1,70 @@
+"""CLI smoke test: run_pipeline.py end to end on a tiny synthetic config."""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_run_pipeline_train(tmp_path):
+    rng = np.random.default_rng(0)
+    for split in ("train", "val"):
+        os.makedirs(tmp_path / "data" / split, exist_ok=True)
+        for i in range(2):
+            pts = rng.uniform(0, 8, (3000, 3)).astype(np.float32)
+            lab = rng.integers(0, 9, 3000).astype(np.int32)
+            np.save(tmp_path / "data" / split / f"cloud_{i}.npy",
+                    {"point": pts, "feat": None, "label": lab})
+
+    cfg = f"""
+dataset:
+  name: Custom3D
+  dataset_path: {tmp_path}/data
+  cache_dir: {tmp_path}/cache
+  use_cache: true
+  class_weights: [1,1,1,1,1,1,1,1,1]
+model:
+  name: RandLANet
+  num_points: 256
+  num_classes: 9
+  ignored_label_inds: [0]
+  in_channels: 3
+  dim_features: 8
+  dim_output: [16, 32, 64, 128]
+  sub_sampling_ratio: [4, 4, 4, 4]
+  grid_size: 0.5
+  augment:
+    recenter:
+      dim: [0, 1]
+pipeline:
+  name: SemanticSegmentation
+  optimizer:
+    lr: 0.001
+  batch_size: 2
+  val_batch_size: 2
+  max_epoch: 0
+  save_ckpt_freq: 1
+  main_log_dir: {tmp_path}/logs
+  train_sum_dir: {tmp_path}/tb
+  scheduler_gamma: 0.99
+  num_workers: 0
+"""
+    cfg_path = tmp_path / "cfg.yml"
+    cfg_path.write_text(cfg)
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env["OPEN3D_ML_TPU_FORCE_CPU"] = "1"
+    result = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "run_pipeline.py"),
+         "-c", str(cfg_path), "--split", "train",
+         "--pipeline.num_workers", "0"],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=str(REPO))
+    assert result.returncode == 0, result.stderr[-3000:]
+    import glob
+    assert glob.glob(str(tmp_path / "logs" / "*" / "checkpoint" / "ckpt_*"))
