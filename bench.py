@@ -42,9 +42,10 @@ def main():
             rng.uniform(-25, 25, (batch_size, num_points, 3)), jnp.float32),
     }
     key = jax.random.PRNGKey(0)
-    variables = net.init({"params": key, "dropout": key},
-                         jax.tree.map(lambda x: x[:1, :8192], batch),
-                         training=False)
+    # jit the init: eager init dispatches hundreds of small programs
+    variables = jax.jit(
+        lambda b: net.init({"params": key, "dropout": key}, b,
+                           training=False))(batch)
 
     # reduce to a scalar inside the jit and fetch it: on this relay-backed
     # runtime, block_until_ready alone does not reliably force execution.
