@@ -144,7 +144,7 @@ class RandLANetNet(nn.Module):
     dim_output: tuple
     sub_sampling_ratio: tuple
     knn_on_device: bool = True
-    knn_method: str = "grid"  # 'exact' | 'approx' | 'grid' (fast path)
+    knn_method: str = "approx"  # 'exact' | 'approx' | 'grid'
     grid_cells: tuple = ()    # () = derive from grid_size
 
     @nn.compact
@@ -274,7 +274,7 @@ class RandLANet(BaseModel):
                  batcher="DefaultBatcher",
                  ckpt_path=None,
                  knn_on_device=True,
-                 knn_method="grid",
+                 knn_method="approx",
                  grid_cells=None,
                  augment={},
                  **kwargs):
