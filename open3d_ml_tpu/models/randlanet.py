@@ -45,10 +45,11 @@ class SharedMLP(nn.Module):
     out_dim: int
     bn: bool = True
     slope: float | None = 0.2  # LeakyReLU negative slope; None = linear
+    dtype: type = None  # compute dtype (bf16 halves HBM traffic on TPU)
 
     @nn.compact
     def __call__(self, x, training=False):
-        x = nn.Dense(self.out_dim, name="conv")(x)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="conv")(x)
         if self.bn:
             # axis_name="batch": stats are averaged across the vmapped batch
             # axis (BatchedNet), matching torch BN over (B, N).

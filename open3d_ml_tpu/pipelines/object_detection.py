@@ -251,6 +251,18 @@ class ObjectDetection(BasePipeline):
         loader = BatchLoader(test_split,
                              cfg.get("test_batch_size", 1), batcher,
                              num_workers=cfg.get("num_workers", 2))
+        if not hasattr(self, "state"):
+            sample = next(iter(BatchLoader(test_split, 1, batcher,
+                                           num_workers=0)))
+            tx = optax.identity()
+            self.state = replicate(
+                self._init_state(self._device_batch(sample), tx), self.mesh)
+            if self._staged_ckpt is not None:
+                self.state = TrainState(
+                    params=replicate(self._staged_ckpt["params"], self.mesh),
+                    batch_stats=replicate(
+                        self._staged_ckpt["batch_stats"], self.mesh),
+                    opt_state=self.state.opt_state, step=self.state.step)
         infer = self._make_infer_fn()
         results_all, attrs_all = [], []
         for batch in loader:

@@ -306,6 +306,10 @@ class SemanticSegmentation(BasePipeline):
                                           transform=model.transform,
                                           sampler=test_sampler,
                                           use_cache=dataset.cfg.use_cache)
+        if not hasattr(self, "state") or self.state is None:
+            # fresh process: initialize a state, then overlay the staged ckpt
+            self._ensure_state_for_inference(test_split, test_sampler)
+            self.state = self._apply_staged(self.state)
         self.run_test_on_split(test_split, test_sampler, save_results=True)
 
     def run_test_on_split(self, test_split, test_sampler, save_results=False):
