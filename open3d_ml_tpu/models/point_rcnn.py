@@ -1031,6 +1031,10 @@ class PointRCNN(ObjdetBaseModel):
         betas = opt.get("betas", [0.9, 0.99])
         tx = optax.adamw(learning_rate=lr, b1=betas[0], b2=betas[1],
                          weight_decay=wd)
+        if self.mode == "RCNN":
+            # freeze the (pretrained) RPN during stage-2 training,
+            # reference point_rcnn.py:162-165
+            tx = optax.masked(tx, self.freeze_rpn_mask)
         return tx, None
 
 
