@@ -139,6 +139,32 @@ class TestPointPillarsTraining:
         assert isinstance(boxes, list)  # untrained => arbitrary detections
 
 
+class TestPointRCNNPipeline:
+
+    def test_rpn_training(self, mini_kitti, tmp_path):
+        from open3d_ml_tpu.datasets import KITTI
+        from open3d_ml_tpu.models import PointRCNN
+        from open3d_ml_tpu.pipelines import ObjectDetection
+
+        ds = KITTI(dataset_path=str(mini_kitti), val_split=3,
+                   use_cache=False)
+        model = PointRCNN(
+            mode="RPN", npoints=1024, classes=["Car"],
+            rpn={"backbone": {"npoints": [256, 64, 16, 4]},
+                 "head": {"nms_pre": 256, "nms_post": 32,
+                          "mean_size": [1.52, 1.63, 3.88]}},
+            augment={"PointShuffle": True})
+        pipe = ObjectDetection(model, dataset=ds, max_epoch=0, batch_size=1,
+                               val_batch_size=1, save_ckpt_freq=100,
+                               validation_freq=100,
+                               main_log_dir=str(tmp_path / "logs"),
+                               train_sum_dir=str(tmp_path / "tb"),
+                               optimizer={"lr": 1e-3}, num_workers=0)
+        pipe.run_train()
+        for k, v in pipe.losses.items():
+            assert np.isfinite(v).all(), k
+
+
 class TestAssignment:
 
     def test_perfect_prediction_assigns_positives(self):
