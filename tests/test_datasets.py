@@ -118,6 +118,79 @@ class TestSemantic3D:
         assert d["label"].shape == (30,)
 
 
+class TestWaymo:
+
+    def test_read(self, tmp_path):
+        from open3d_ml_tpu.datasets import Waymo
+        rng = np.random.default_rng(0)
+        for d in ("velodyne", "calib", "label_all"):
+            os.makedirs(tmp_path / d, exist_ok=True)
+        pts = np.zeros((500, 6), np.float32)
+        pts[:, 0] = rng.uniform(1, 20, 500)
+        pts[:, 1] = rng.uniform(-5, 5, 500)
+        pts.tofile(tmp_path / "velodyne" / "train_000.bin")
+        P = " ".join(["7.2e+02", "0", "6.0e+02", "0", "0", "7.2e+02",
+                      "1.7e+02", "0", "0", "0", "1", "0"])
+        lines = [f"P0: {P}", f"P1: {P}", f"P2: {P}", f"P3: {P}",
+                 "R0_rect: 1 0 0 0 1 0 0 0 1",
+                 "Tr_velo_to_cam: 0 -1 0 0 0 0 -1 0 1 0 0 0"]
+        (tmp_path / "calib" / "train_000.txt").write_text(
+            "\n".join(lines) + "\n")
+        (tmp_path / "label_all" / "train_000.txt").write_text(
+            "VEHICLE 0 0 0 300 160 360 200 1.5 1.7 4.0 -2.0 1.6 8.0 0.2\n")
+        ds = Waymo(dataset_path=str(tmp_path))
+        split = ds.get_split("training")
+        assert len(split) == 1
+        data = split.get_data(0)
+        assert data["point"].shape == (500, 6)
+        assert len(data["bounding_boxes"]) == 1
+
+
+class TestNuScenesAndLyft:
+
+    def test_read_infos(self, tmp_path):
+        import pickle
+        from open3d_ml_tpu.datasets import NuScenes
+        rng = np.random.default_rng(0)
+        pc = rng.uniform(-10, 10, (300, 5)).astype(np.float32)
+        pc_path = tmp_path / "sweep_0.bin"
+        pc.tofile(pc_path)
+        infos = [{
+            "lidar_path": str(pc_path),
+            "lidar2ego_rot": [0, 0, 0, 1],  # identity quaternion (xyzw)
+            "lidar2ego_tr": [0, 0, 1.8],
+            "num_lidar_pts": np.array([30, 0]),
+            "gt_boxes": np.array([[5, 2, 0, 1.9, 4.6, 1.7, 0.4],
+                                  [8, 1, 0, 1.9, 4.6, 1.7, 0.0]]),
+            "gt_names": np.array(["car", "truck"]),
+        }]
+        with open(tmp_path / "infos_train.pkl", "wb") as f:
+            pickle.dump(infos, f)
+        ds = NuScenes(dataset_path=str(tmp_path))
+        split = ds.get_split("training")
+        assert len(split) == 1
+        data = split.get_data(0)
+        assert data["point"].shape == (300, 5)
+        # only the box with lidar points survives
+        assert len(data["bounding_boxes"]) == 1
+        assert data["bounding_boxes"][0].label_class == "car"
+
+
+class TestTransforms:
+
+    def test_trans_crop_pc(self):
+        from scipy.spatial import cKDTree
+        from open3d_ml_tpu.datasets.utils import trans_crop_pc
+        rng = np.random.default_rng(0)
+        pts = rng.uniform(0, 10, (500, 3)).astype(np.float32)
+        labels = rng.integers(0, 5, 500).astype(np.int32)
+        tree = cKDTree(pts)
+        p, f, l, idx = trans_crop_pc(pts, None, labels, tree, 7, 64)
+        assert p.shape == (64, 3)
+        assert l.shape == (64,)
+        assert 7 in idx  # center point included
+
+
 class TestScannet:
 
     def test_read(self, tmp_path):

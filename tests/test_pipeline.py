@@ -61,6 +61,20 @@ class TestSemanticSegmentationPipeline:
         ds, model, pipe = _make(synthetic_dataset, max_epoch=1)
         pipe.run_train()  # resumes from epoch saved by previous test
 
+    def test_run_test_possibility_maps(self, synthetic_dataset):
+        """Full possibility-map test loop: every test cloud gets covered,
+        predictions saved in the dataset's format."""
+        ds, model, pipe = _make(synthetic_dataset)
+        pipe.run_test()
+        assert len(pipe.test_results) == 2  # both test clouds covered
+        for res in pipe.test_results.values():
+            assert res["predict_labels"].shape == (3000,)
+        import glob
+        saved = glob.glob(str(synthetic_dataset / "test" / "*.npy")) + \
+            glob.glob("./test/*.npy")
+        # Custom3D writes into cfg.test_result_folder (default ./test)
+        assert len(saved) >= 1
+
     def test_inference(self, synthetic_dataset):
         ds, model, pipe = _make(synthetic_dataset)
         rng = np.random.default_rng(1)
