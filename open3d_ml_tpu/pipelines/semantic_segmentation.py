@@ -328,41 +328,72 @@ class SemanticSegmentation(BasePipeline):
         num_clouds = len(test_split.dataset)
         test_probs = {}
         results_per_cloud = {}
+        test_bs = int(cfg.get("test_batch_size", 1) or 1)
 
         cloud_iter = test_sampler.get_cloud_sampler()
-        for cloud_id in cloud_iter:
-            sample = test_split[cloud_id]
-            batch = batcher.collate_fn([sample])
+        done = False
+        while not done:
+            # batch several patches per device call; the host-side sampler
+            # updates possibilities between draws so patches tile the
+            # remaining uncovered regions (and can span multiple clouds)
+            samples, cloud_ids = [], []
+            for _ in range(test_bs):
+                try:
+                    cid = next(cloud_iter)
+                except StopIteration:
+                    done = True
+                    break
+                samples.append(test_split[cid])
+                cloud_ids.append(cid)
+            if not samples:
+                break
+            batch = batcher.collate_fn(samples)
             dev_batch = self._device_batch(batch)
-            results = infer_fn(state.params, state.batch_stats, dev_batch)
+            results = np.asarray(
+                infer_fn(state.params, state.batch_stats, dev_batch))
 
-            if cloud_id not in test_probs:
-                n = test_sampler.possibilities[cloud_id].shape[0]
-                test_probs[cloud_id] = np.zeros(
-                    (n, model.cfg.num_classes), np.float16)
-            test_probs[cloud_id] = model.update_probs(
-                batch["data"], results, test_probs[cloud_id])
-
-            if test_sampler.min_possibilities[cloud_id] > 0.5:
-                # cloud fully covered: project + store
-                attr = test_split.dataset.get_attr(cloud_id)
-                data = test_split.cache_convert(attr["name"]) \
-                    if test_split.cache_convert else \
-                    model.preprocess(test_split.dataset.get_data(cloud_id),
-                                     attr)
-                probs = test_probs[cloud_id]
-                if "proj_inds" in data:
-                    probs = probs[data["proj_inds"]]
-                pred = probs.argmax(-1)
-                results_per_cloud[cloud_id] = {
-                    "predict_labels": pred,
-                    "predict_scores": probs,
-                }
-                if save_results and not dataset.is_tested(attr):
-                    dataset.save_test_result(results_per_cloud[cloud_id],
-                                             attr)
+            for cid in set(cloud_ids):
+                if cid not in test_probs:
+                    n = test_sampler.possibilities[cid].shape[0]
+                    test_probs[cid] = np.zeros(
+                        (n, model.cfg.num_classes), np.float16)
+            for j, cid in enumerate(cloud_ids):
+                test_probs[cid] = model.update_probs(
+                    {k: v[j:j + 1] for k, v in batch["data"].items()},
+                    results[j:j + 1], test_probs[cid])
+            remaining = [
+                cid for cid in set(cloud_ids)
+                if cid not in results_per_cloud
+            ]
+            for cloud_id in remaining:
+                self._maybe_finalize_cloud(cloud_id, test_split,
+                                           test_sampler, test_probs,
+                                           results_per_cloud, save_results)
         self.test_results = results_per_cloud
         return results_per_cloud
+
+    def _maybe_finalize_cloud(self, cloud_id, test_split, test_sampler,
+                              test_probs, results_per_cloud, save_results):
+        """When a cloud is fully covered, project the accumulated probs to
+        the full cloud and store/save the prediction."""
+        model = self.model
+        dataset = self.dataset
+        if test_sampler.min_possibilities[cloud_id] <= 0.5:
+            return
+        attr = test_split.dataset.get_attr(cloud_id)
+        data = test_split.cache_convert(attr["name"]) \
+            if test_split.cache_convert else \
+            model.preprocess(test_split.dataset.get_data(cloud_id), attr)
+        probs = test_probs[cloud_id]
+        if "proj_inds" in data:
+            probs = probs[data["proj_inds"]]
+        pred = probs.argmax(-1)
+        results_per_cloud[cloud_id] = {
+            "predict_labels": pred,
+            "predict_scores": probs,
+        }
+        if save_results and not dataset.is_tested(attr):
+            dataset.save_test_result(results_per_cloud[cloud_id], attr)
 
     # ------------------------------------------------------------- inference
 
