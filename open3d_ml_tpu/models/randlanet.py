@@ -73,7 +73,12 @@ class LocalSpatialEncoding(nn.Module):
         """coords [N,3], feat [N,d], neighbor_idx [N,K] (single sample;
         batching via vmap in the top-level net)."""
         if self.encode_pos:
-            nbr_coords = gather_neighbors(coords, neighbor_idx)  # [N,K,3]
+            # fuse the coord + feature gathers into one: row gathers are
+            # latency-bound on TPU, so one wide gather beats two narrow ones
+            cat = jnp.concatenate([coords, feat], axis=-1)
+            gathered = gather_neighbors(cat, neighbor_idx)  # [N,K,3+d]
+            nbr_coords = gathered[..., :3]
+            nbr_feat = gathered[..., 3:]
             ext_coords = coords[:, None, :]  # [N,1,3]
             rel_pos = ext_coords - nbr_coords  # [N,K,3]
             # +eps: the self-neighbor has distance exactly 0 and sqrt'(0)
@@ -86,10 +91,11 @@ class LocalSpatialEncoding(nn.Module):
             ], axis=-1)  # [N,K,10]
         elif relative_features is None:
             raise ValueError("LSE second pass needs relative_features")
+        else:
+            nbr_feat = gather_neighbors(feat, neighbor_idx)  # [N,K,d]
 
         relative_features = SharedMLP(self.out_dim, name="mlp")(
             relative_features, training=training)
-        nbr_feat = gather_neighbors(feat, neighbor_idx)  # [N,K,d]
         return (jnp.concatenate([nbr_feat, relative_features], axis=-1),
                 relative_features)
 
