@@ -78,6 +78,10 @@ def knn_search(points, queries, k, *, points_mask=None, exact=True,
         d2 = _pairwise_dist2(qc, points)
         if points_mask is not None:
             d2 = jnp.where(points_mask[None, :], d2, jnp.inf)
+        if k == 1:
+            # plain min/argmin reduction: far cheaper than any top-k path
+            idx = jnp.argmin(d2, axis=1).astype(jnp.int32)
+            return idx[:, None], jnp.min(d2, axis=1)[:, None]
         if exact:
             neg, idx = jax.lax.top_k(-d2, k)
             return idx.astype(jnp.int32), -neg
