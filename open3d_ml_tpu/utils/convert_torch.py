@@ -112,6 +112,102 @@ def convert_randlanet(state_dict, num_layers=4):
     return {"params": {"net": params}, "batch_stats": {"net": stats}}
 
 
+def _conv2d(sd, prefix, weight_key=None):
+    """torch nn.Conv2d weight [out, in, kh, kw] -> flax nn.Conv kernel
+    [kh, kw, in, out]."""
+    w = _t(sd[(weight_key or prefix + ".weight")])
+    out = {"kernel": w.transpose(2, 3, 1, 0)}
+    if prefix + ".bias" in sd:
+        out["bias"] = _t(sd[prefix + ".bias"])
+    return out
+
+
+def _convT2d(sd, prefix):
+    """torch nn.ConvTranspose2d weight [in, out, kh, kw] -> flax
+    nn.ConvTranspose kernel [kh, kw, in, out].
+
+    torch's ConvTranspose2d is the gradient-of-conv; flax's default
+    (transpose_kernel=False) is a fractionally-strided conv with the kernel
+    unflipped, so the spatial axes must be reversed here.
+    """
+    w = _t(sd[prefix + ".weight"])
+    out = {"kernel": w.transpose(2, 3, 0, 1)[::-1, ::-1]}
+    if prefix + ".bias" in sd:
+        out["bias"] = _t(sd[prefix + ".bias"])
+    return out
+
+
+def convert_pointpillars(state_dict):
+    """Map a reference PointPillars state_dict (point_pillars.py:385-803
+    layout: PillarFeatureNet / SECOND / SECONDFPN / Anchor3DHead) to this
+    framework's PointPillarsNet variables.
+
+    Returns {"params": ..., "batch_stats": ...} ready for net.apply. The
+    head convs keep torch's channel order [anchor*attr], which matches the
+    NHWC head here since only the channel axis ordering matters.
+    """
+    sd = dict(state_dict)
+    params = {}
+    stats = {}
+
+    # PillarFeatureNet: pfn_layers.{i}.linear (no bias) + .norm
+    enc_p, enc_s = {}, {}
+    i = 0
+    while f"voxel_encoder.pfn_layers.{i}.linear.weight" in sd:
+        base = f"voxel_encoder.pfn_layers.{i}"
+        p, s = _bn(sd, base + ".norm")
+        enc_p[f"pfn_{i}"] = {"linear": _dense_from_linear(sd, base + ".linear"),
+                             "norm": p}
+        enc_s[f"pfn_{i}"] = {"norm": s}
+        i += 1
+    if i == 0:
+        raise KeyError("no voxel_encoder.pfn_layers.* keys found")
+    params["voxel_encoder"] = enc_p
+    stats["voxel_encoder"] = enc_s
+
+    # SECOND backbone: blocks.{i} is a flat Sequential
+    # [conv, bn, relu, (conv, bn, relu) * layer_num]
+    bb_p, bb_s = {}, {}
+    i = 0
+    while f"backbone.blocks.{i}.0.weight" in sd:
+        j = 0
+        while f"backbone.blocks.{i}.{3 * j}.weight" in sd:
+            bb_p[f"block{i}_conv{j}"] = _conv2d(
+                sd, f"backbone.blocks.{i}.{3 * j}")
+            p, s = _bn(sd, f"backbone.blocks.{i}.{3 * j + 1}")
+            bb_p[f"block{i}_bn{j}"] = p
+            bb_s[f"block{i}_bn{j}"] = s
+            j += 1
+        i += 1
+    params["backbone"] = bb_p
+    stats["backbone"] = bb_s
+
+    # SECONDFPN neck: deblocks.{i} = [convT-or-conv, bn, relu]
+    nk_p, nk_s = {}, {}
+    i = 0
+    while f"neck.deblocks.{i}.0.weight" in sd:
+        w = _t(sd[f"neck.deblocks.{i}.0.weight"])
+        # ConvTranspose2d kernel==stride; the stride-1 no-conv branch also
+        # uses ConvTranspose2d(k=1). A Conv2d branch (use_conv_for_no_stride)
+        # would have weight [out, in, k, k] with out!=in ambiguity resolved
+        # by the flax module name present in the target tree; default to
+        # transpose mapping, matching the reference defaults.
+        nk_p[f"deblock{i}_up"] = _convT2d(sd, f"neck.deblocks.{i}.0")
+        p, s = _bn(sd, f"neck.deblocks.{i}.1")
+        nk_p[f"deblock{i}_bn"] = p
+        nk_s[f"deblock{i}_bn"] = s
+        del w
+        i += 1
+    params["neck"] = nk_p
+    stats["neck"] = nk_s
+
+    # Anchor3DHead: 1x1 convs with bias
+    for name in ("conv_cls", "conv_reg", "conv_dir_cls"):
+        params[name] = _conv2d(sd, f"bbox_head.{name}")
+
+    return {"params": params, "batch_stats": stats}
+
+
 def load_torch_checkpoint(path):
     """Load a .pth checkpoint's model state dict as numpy arrays."""
     import torch
@@ -123,7 +219,8 @@ def load_torch_checkpoint(path):
 def convert_checkpoint(path, model_name="RandLANet", **kwargs):
     """Top-level entry: .pth path -> flax variables for the named model."""
     sd = load_torch_checkpoint(path)
-    converters = {"RandLANet": convert_randlanet}
+    converters = {"RandLANet": convert_randlanet,
+                  "PointPillars": convert_pointpillars}
     if model_name not in converters:
         raise NotImplementedError(
             f"No torch-checkpoint converter for {model_name} yet "
