@@ -68,3 +68,53 @@ pipeline:
     assert result.returncode == 0, result.stderr[-3000:]
     import glob
     assert glob.glob(str(tmp_path / "logs" / "*" / "checkpoint" / "ckpt_*"))
+
+
+class TestDefaultCfgs:
+    """Every default_cfgs/*.yml parses and instantiates its module
+    (reference ml3d/configs/default_cfgs/, used with --cfg_model etc.)."""
+
+    def test_all_default_cfgs_instantiate(self, tmp_path):
+        import glob
+        import os
+        from open3d_ml_tpu.utils import Config
+        from open3d_ml_tpu.utils.builder import get_module
+
+        root = os.path.join(os.path.dirname(__file__), "..",
+                            "open3d_ml_tpu", "configs", "default_cfgs")
+        files = sorted(glob.glob(os.path.join(root, "*.yml")))
+        assert len(files) == 10
+        for f in files:
+            cfg = Config.load_from_file(f)
+            d = cfg.to_dict()
+            name = d.pop("name")
+            kind = ("dataset" if "dataset_path" in d else
+                    "pipeline" if "max_epoch" in d else "model")
+            if kind == "model":
+                cls = get_module("model", name)
+                d.pop("batcher", None)
+                d.pop("ckpt_path", None)
+                cls(**d)
+            elif kind == "pipeline":
+                get_module("pipeline", name)
+            else:
+                cls = get_module("dataset", name)
+                path = tmp_path / name
+                path.mkdir(exist_ok=True)
+                d["dataset_path"] = str(path)
+                if name == "ParisLille3D":
+                    (path / "training_10_classes").mkdir(exist_ok=True)
+                    (path / "test_10_classes").mkdir(exist_ok=True)
+                if name == "ShapeNet":
+                    sub = path / \
+                        "shapenetcore_partanno_segmentation_benchmark_v0"
+                    (sub / "02691156" / "points").mkdir(parents=True,
+                                                        exist_ok=True)
+                    (sub / "02691156" / "points_label").mkdir(exist_ok=True)
+                    (sub / "train_test_split").mkdir(exist_ok=True)
+                    (sub / "synsetoffset2category.txt").write_text(
+                        "Airplane\t02691156\n")
+                    for s in ("train", "val", "test"):
+                        (sub / "train_test_split" /
+                         f"shuffled_{s}_file_list.json").write_text("[]")
+                cls(**d)
