@@ -14,8 +14,10 @@ TPU re-design:
 * roipool3d (CUDA roi_pool) -> points-in-rotated-box mask + top-512 ordered
   gather, fully shaped,
 * ProposalTargetLayer keeps the IoU-threshold fg/bg split with fixed
-  quotas sampled by randomized priorities (the reference's per-roi jitter
-  augmentation, roi_fg_aug_times, is not applied),
+  quotas sampled by randomized priorities; the per-roi jitter augmentation
+  (roi_fg_aug_times) draws its full candidate block up front and selects
+  the first passing jitter with one batched rotated-IoU call instead of
+  the reference's host-side rejection loop,
 * everything runs in camera coordinates like the reference (y down, box y at
   the bottom face).
 """
@@ -407,13 +409,73 @@ def sample_rois_for_rcnn(rois, roi_valid, gt, gt_count, key, *,
     return rois[sel], gt[gt_arg[sel]], max_iou[sel], ok
 
 
+# pos_range, hwl_range, angle_range per jitter level (reference
+# random_aug_box3d :1590-1617; its mean_iou column is unused at runtime)
+_AUG_RANGE_CONFIG = np.array(
+    [[0.2, 0.1, np.pi / 12], [0.3, 0.15, np.pi / 12],
+     [0.5, 0.15, np.pi / 9], [0.8, 0.15, np.pi / 6],
+     [1.0, 0.15, np.pi / 3]], np.float32)
+
+
+def aug_roi_by_noise(rois, gt, iou_src, key, *, pos_thresh, aug_times=10):
+    """Per-roi jitter augmentation, TPU-native (reference
+    aug_roi_by_noise_torch :1553-1589).
+
+    The reference rejection-samples each roi on host: up to `aug_times`
+    jitters, stopping at the first whose 3D IoU with its gt clears
+    `pos_thresh` (each attempt keeps the original box with p=0.2); if all
+    fail it keeps the last attempt. A data-dependent while-loop per roi
+    doesn't map to XLA, so this draws the full static block of `aug_times`
+    candidates up front, computes every rotated IoU in one batched call and
+    picks the first passing candidate with argmax — same distribution, one
+    fused kernel.
+
+    rois/gt: [R, 7] cam-frame (x, y, z, h, w, l, ry); iou_src: [R] the
+    pre-jitter IoU (reported unchanged when the chosen attempt kept the
+    original box, as the reference does). Returns (aug_rois [R,7], iou [R]).
+    """
+    from ..ops.iou import iou_3d_elementwise
+
+    if aug_times <= 0:
+        return rois, iou_src
+    r = rois.shape[0]
+    k1, k2, k3 = jax.random.split(key, 3)
+    cfg_idx = jax.random.randint(k1, (r, aug_times), 0,
+                                 len(_AUG_RANGE_CONFIG))
+    ranges = jnp.asarray(_AUG_RANGE_CONFIG)[cfg_idx]  # [R, A, 3]
+    u = jax.random.uniform(k2, (r, aug_times, 7), minval=-1.0, maxval=1.0)
+    pos = rois[:, None, 0:3] + u[..., 0:3] * ranges[..., 0:1]
+    hwl = rois[:, None, 3:6] * (u[..., 3:6] * ranges[..., 1:2] + 1.0)
+    ang = rois[:, None, 6:7] + u[..., 6:7] * ranges[..., 2:3]
+    cand = jnp.concatenate([pos, hwl, ang], axis=-1)  # [R, A, 7]
+    keep = jax.random.uniform(k3, (r, aug_times)) < 0.2
+    cand = jnp.where(keep[..., None], rois[:, None, :], cand)
+
+    def conv(b):
+        return jnp.stack([b[..., 0], b[..., 1] - b[..., 3], b[..., 2],
+                          b[..., 4], b[..., 3], b[..., 5], b[..., 6]],
+                         axis=-1)
+
+    ious = iou_3d_elementwise(
+        conv(cand), jnp.broadcast_to(conv(gt)[:, None, :], cand.shape),
+        xp=jnp)  # [R, A]
+    success = ious >= pos_thresh
+    any_ok = jnp.any(success, axis=1)
+    pick = jnp.where(any_ok, jnp.argmax(success, axis=1), aug_times - 1)
+    sel = jnp.take_along_axis(cand, pick[:, None, None], axis=1)[:, 0]
+    sel_iou = jnp.take_along_axis(ious, pick[:, None], axis=1)[:, 0]
+    sel_keep = jnp.take_along_axis(keep, pick[:, None], axis=1)[:, 0]
+    return sel, jnp.where(sel_keep, iou_src, sel_iou)
+
+
 def rcnn_targets(xyz, pts_feature, rois, roi_valid, gt, gt_count, key, cfg):
     """Pool points + build RCNN training targets for ONE sample (reference
-    ProposalTargetLayer.forward :1325-1388, minus per-roi jitter aug).
+    ProposalTargetLayer.forward :1325-1388, including per-roi jitter aug).
 
     Returns dict with pts_input [R, P, 5+C], cls_label [R], reg_valid [R],
     gt_ct [R, 7] (canonical-frame gt), roi_boxes [R, 7].
     """
+    key, key_fg, key_bg = jax.random.split(key, 3)
     sel_rois, sel_gt, sel_iou, sel_ok = sample_rois_for_rcnn(
         rois, roi_valid, gt, gt_count, key,
         roi_per_image=cfg["roi_per_image"], fg_ratio=cfg["fg_ratio"],
@@ -421,6 +483,21 @@ def rcnn_targets(xyz, pts_feature, rois, roi_valid, gt, gt_count, key, cfg):
         cls_bg_thresh=cfg["cls_bg_thresh"],
         cls_bg_thresh_lo=cfg["cls_bg_thresh_lo"],
         hard_bg_ratio=cfg["hard_bg_ratio"])
+
+    aug_times = int(cfg.get("roi_fg_aug_times", 0))
+    if aug_times > 0:
+        # fg slots occupy the first fg_quota rows (sample_rois layout); bg
+        # rois get a single jitter attempt (reference :1496-1500)
+        fg_quota = int(np.round(cfg["fg_ratio"] * cfg["roi_per_image"]))
+        pos_thresh = min(cfg["reg_fg_thresh"], cfg["cls_fg_thresh"])
+        fg_rois, fg_iou = aug_roi_by_noise(
+            sel_rois[:fg_quota], sel_gt[:fg_quota], sel_iou[:fg_quota],
+            key_fg, pos_thresh=pos_thresh, aug_times=aug_times)
+        bg_rois, bg_iou = aug_roi_by_noise(
+            sel_rois[fg_quota:], sel_gt[fg_quota:], sel_iou[fg_quota:],
+            key_bg, pos_thresh=pos_thresh, aug_times=1)
+        sel_rois = jnp.concatenate([fg_rois, bg_rois])
+        sel_iou = jnp.concatenate([fg_iou, bg_iou])
 
     pooled, empty = roipool3d(xyz, pts_feature, sel_rois,
                               cfg["pool_extra_width"], cfg["num_points"])
@@ -713,6 +790,7 @@ class PointRCNN(ObjdetBaseModel):
             "fg_ratio": tc.get("fg_ratio", 0.5),
             "roi_per_image": tc.get("roi_per_image", 64),
             "hard_bg_ratio": tc.get("hard_bg_ratio", 0.8),
+            "roi_fg_aug_times": tc.get("roi_fg_aug_times", 10),
         })
         return PointRCNNNet(rpn=single, rcnn=self.get_rcnn_net(),
                             mode=self.mode, rpn_head=rpn_head,

@@ -137,6 +137,29 @@ def iou_3d(boxes1, boxes2, xp=np):
     return inter / xp.maximum(v1 + v2 - inter, _EPS)
 
 
+def iou_3d_elementwise(boxes1, boxes2, xp=np):
+    """Rotated 3D IoU elementwise over matching leading dims.
+
+    boxes1/boxes2: [..., 7] in the same [x, y, z, w, h, l, ry] convention as
+    :func:`iou_3d` (y = bottom, h = vertical extent). Returns [...]. Used by
+    the PointRCNN per-roi jitter augmentation, which needs one IoU per
+    (candidate, gt) pair rather than the full cross matrix.
+    """
+    bev1 = xp.stack([boxes1[..., 0], boxes1[..., 2], boxes1[..., 3],
+                     boxes1[..., 5], boxes1[..., 6]], axis=-1)
+    bev2 = xp.stack([boxes2[..., 0], boxes2[..., 2], boxes2[..., 3],
+                     boxes2[..., 5], boxes2[..., 6]], axis=-1)
+    inter_bev = _rotated_intersection_area(xp, bev1, bev2)
+    ymin1, ymax1 = boxes1[..., 1], boxes1[..., 1] + boxes1[..., 4]
+    ymin2, ymax2 = boxes2[..., 1], boxes2[..., 1] + boxes2[..., 4]
+    overlap = xp.maximum(
+        xp.minimum(ymax1, ymax2) - xp.maximum(ymin1, ymin2), 0.0)
+    inter = inter_bev * overlap
+    v1 = boxes1[..., 3] * boxes1[..., 4] * boxes1[..., 5]
+    v2 = boxes2[..., 3] * boxes2[..., 4] * boxes2[..., 5]
+    return inter / xp.maximum(v1 + v2 - inter, _EPS)
+
+
 def iou_aligned(boxes1, boxes2, xp=np, mode="iou", eps=1e-6):
     """Axis-aligned 2D IoU/IoF matrix for [N,4], [M,4] (x1,y1,x2,y2)."""
     lt = xp.maximum(boxes1[:, None, :2], boxes2[None, :, :2])

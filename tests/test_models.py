@@ -109,3 +109,40 @@ class TestRandLANet:
         assert out["coords"].shape == (256, 3)
         assert out["features"].shape == (256, 3)
         assert out["labels"].shape == (256,)
+
+
+class TestCompiledModel:
+    """AOT wrapper (models/compiled_model.py), the OpenVINO-backend analog
+    (reference openvino_model.py:17-143)."""
+
+    def test_compile_cache_and_delegation(self):
+        import jax
+        import jax.numpy as jnp
+        from open3d_ml_tpu.models import CompiledModel, RandLANet
+
+        model = RandLANet(num_points=256, num_classes=5,
+                          ignored_label_inds=[], in_channels=3,
+                          dim_features=8, dim_output=[16, 32],
+                          sub_sampling_ratio=[4, 4], num_layers=2)
+        net = model.get_net()
+        rng = np.random.default_rng(0)
+        batch = {
+            "coords": jnp.asarray(rng.standard_normal((1, 256, 3)),
+                                  jnp.float32),
+            "features": jnp.asarray(rng.standard_normal((1, 256, 3)),
+                                    jnp.float32),
+        }
+        key = jax.random.PRNGKey(0)
+        variables = jax.jit(
+            lambda b: net.init({"params": key, "dropout": key}, b,
+                               training=False))(batch)
+        wrapped = CompiledModel(model, variables)
+        out1 = wrapped(batch)
+        assert out1.shape == (1, 256, 5)
+        assert len(wrapped._compiled) == 1
+        out2 = wrapped.forward(batch)  # same signature -> cache hit
+        assert len(wrapped._compiled) == 1
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
+        # attribute passthrough to the wrapped model
+        assert wrapped.cfg is model.cfg
+        assert wrapped.name == model.name

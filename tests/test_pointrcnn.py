@@ -185,3 +185,78 @@ class TestPointRCNNStage2:
                       if any(getattr(p, "key", "") == "rcnn" for p in path)]
         assert rpn_flags and not any(rpn_flags)
         assert rcnn_flags and all(rcnn_flags)
+
+
+class TestRoiJitterAug:
+    """aug_roi_by_noise: batched rework of the reference's per-roi
+    rejection-sampling jitter (point_rcnn.py:1553-1617)."""
+
+    def _boxes(self, rng, n):
+        b = np.zeros((n, 7), np.float32)
+        b[:, 0] = rng.uniform(-10, 10, n)
+        b[:, 1] = rng.uniform(1, 2, n)        # y bottom
+        b[:, 2] = rng.uniform(5, 40, n)
+        b[:, 3] = 1.5                          # h
+        b[:, 4] = 1.6                          # w
+        b[:, 5] = 3.9                          # l
+        b[:, 6] = rng.uniform(-np.pi, np.pi, n)
+        return b
+
+    def test_jitter_respects_pos_thresh(self):
+        import jax
+        import jax.numpy as jnp
+        from open3d_ml_tpu.models.point_rcnn import aug_roi_by_noise
+
+        rng = np.random.default_rng(0)
+        gt = self._boxes(rng, 16)
+        rois = gt.copy()  # perfect rois: iou_src = 1
+        iou_src = np.ones(16, np.float32)
+        out_rois, out_iou = jax.jit(
+            lambda r, g, i, k: aug_roi_by_noise(r, g, i, k, pos_thresh=0.55,
+                                                aug_times=10))(
+            jnp.asarray(rois), jnp.asarray(gt), jnp.asarray(iou_src),
+            jax.random.PRNGKey(0))
+        out_rois, out_iou = np.asarray(out_rois), np.asarray(out_iou)
+        assert out_rois.shape == (16, 7)
+        # every reported iou clears the threshold (a passing jitter or the
+        # kept original whose iou_src is 1.0): a failing-fallback is
+        # astronomically unlikely with 10 attempts around a perfect roi
+        assert (out_iou >= 0.55).all()
+        # at least some rois actually moved
+        assert (np.abs(out_rois - rois).max(axis=1) > 1e-6).any()
+        # jitters are bounded by the largest range config (pos 1.0)
+        assert np.abs(out_rois[:, 0:3] - rois[:, 0:3]).max() <= 1.0 + 1e-5
+
+    def test_aug_times_zero_is_identity(self):
+        import jax
+        import jax.numpy as jnp
+        from open3d_ml_tpu.models.point_rcnn import aug_roi_by_noise
+
+        rng = np.random.default_rng(1)
+        gt = self._boxes(rng, 8)
+        rois = self._boxes(rng, 8)
+        iou_src = rng.uniform(0, 1, 8).astype(np.float32)
+        out_rois, out_iou = aug_roi_by_noise(
+            jnp.asarray(rois), jnp.asarray(gt), jnp.asarray(iou_src),
+            jax.random.PRNGKey(1), pos_thresh=0.55, aug_times=0)
+        np.testing.assert_array_equal(np.asarray(out_rois), rois)
+        np.testing.assert_array_equal(np.asarray(out_iou), iou_src)
+
+    def test_far_rois_take_last_candidate(self):
+        """When no jitter can reach the threshold, the last candidate is
+        kept (reference falls out of its while-loop the same way)."""
+        import jax
+        import jax.numpy as jnp
+        from open3d_ml_tpu.models.point_rcnn import aug_roi_by_noise
+
+        rng = np.random.default_rng(2)
+        gt = self._boxes(rng, 8)
+        rois = gt.copy()
+        rois[:, 0] += 50.0  # nowhere near the gt
+        iou_src = np.zeros(8, np.float32)
+        out_rois, out_iou = aug_roi_by_noise(
+            jnp.asarray(rois), jnp.asarray(gt), jnp.asarray(iou_src),
+            jax.random.PRNGKey(2), pos_thresh=0.55, aug_times=4)
+        out_iou = np.asarray(out_iou)
+        assert (out_iou < 0.55).all()
+        assert np.isfinite(np.asarray(out_rois)).all()
