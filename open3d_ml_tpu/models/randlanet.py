@@ -151,7 +151,7 @@ class RandLANetNet(nn.Module):
     dim_output: tuple
     sub_sampling_ratio: tuple
     knn_on_device: bool = True
-    knn_method: str = "approx"  # 'exact' | 'approx' | 'grid'
+    knn_method: str = "approx"  # 'exact' | 'approx' | 'grid' | 'window'
     grid_cells: tuple = ()    # () = derive from grid_size
 
     @nn.compact

@@ -320,8 +320,10 @@ def build_knn_pyramid(points, k, sub_ratios, *, num_interp=1,
 
     Args:
         method: 'exact' (brute-force MXU + top_k), 'approx'
-            (jax.lax.approx_min_k), or 'grid' (adaptive grid-bucketed,
-            ~99% recall at a fraction of the cost — the fast path).
+            (jax.lax.approx_min_k), 'grid' (adaptive grid-bucketed, ~99%
+            recall, fast on CPU), or 'window' (Morton-curve windows, ~98%
+            recall with 3 curves and no random-access gathers — see
+            ops/morton.py).
         grid_cells: cell-size levels for method='grid' (finest first). The
             adaptive level selection makes one set work for every pyramid
             level despite the 2x-per-level spacing growth.
@@ -334,6 +336,9 @@ def build_knn_pyramid(points, k, sub_ratios, *, num_interp=1,
         search = functools.partial(knn_grid, cell_size=cells)
     elif method == "approx":
         search = functools.partial(knn_search, exact=False)
+    elif method == "window":
+        from .morton import knn_window
+        search = knn_window
     else:
         search = knn_search
 

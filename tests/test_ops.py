@@ -361,3 +361,82 @@ class TestNMS:
                                   score_threshold=0.05)
         np.testing.assert_array_equal(np.asarray(keep),
                                       [[True, False], [False, True]])
+
+
+class TestMortonWindowKNN:
+    """Morton-curve window KNN (ops/morton.py): the gather-free approximate
+    neighbor path for the on-device pyramid."""
+
+    def _cloud(self, n=8192, seed=0):
+        rng = np.random.default_rng(seed)
+        r = rng.uniform(2, 50, n) ** 1.5 / 50 ** 0.5
+        theta = rng.uniform(0, 2 * np.pi, n)
+        z = rng.uniform(-2, 1, n) + 0.05 * r
+        return np.stack([r * np.cos(theta), r * np.sin(theta), z],
+                        1).astype(np.float32)
+
+    def test_morton_codes_order_locality(self):
+        from open3d_ml_tpu.ops.morton import morton_codes
+        pts = jnp.asarray(self._cloud(2048))
+        codes = morton_codes(pts)
+        assert codes.shape == (2048,)
+        assert int(jnp.min(codes)) >= 0
+        # sorted-by-code neighbors are spatially close on average: mean
+        # consecutive distance far below the random-pair expectation
+        order = jnp.argsort(codes)
+        sp = np.asarray(pts[order])
+        consec = np.linalg.norm(np.diff(sp, axis=0), axis=1).mean()
+        rng = np.random.default_rng(0)
+        rand_pairs = np.linalg.norm(
+            sp[rng.integers(0, 2048, 512)] - sp[rng.integers(0, 2048, 512)],
+            axis=1).mean()
+        assert consec < 0.25 * rand_pairs
+
+    def test_self_knn_recall(self):
+        from open3d_ml_tpu.ops.morton import knn_window
+        from open3d_ml_tpu.ops.neighbors import knn_search
+        pts = jnp.asarray(self._cloud(8192))
+        ei, ed = knn_search(pts, pts, 16)
+        wi, wd = jax.jit(
+            lambda p: knn_window(p, p, 16, window=128, n_curves=3))(pts)
+        ed, wd = np.asarray(ed), np.asarray(wd)
+        recall = np.mean(wd <= ed[:, -1:] + 1e-9)
+        assert recall > 0.96, recall
+        # self point is always its own nearest neighbor
+        np.testing.assert_array_equal(np.asarray(wi)[:, 0],
+                                      np.arange(8192))
+
+    def test_cross_knn_and_mask(self):
+        from open3d_ml_tpu.ops.morton import knn_window
+        pts = jnp.asarray(self._cloud(4096, seed=1))
+        sub = pts[:1024]
+        mask = np.ones(1024, bool)
+        mask[500:] = False  # only the first 500 sub points are valid
+        wi, wd = knn_window(sub, pts, 1, window=128, n_curves=2,
+                            points_mask=jnp.asarray(mask))
+        assert int(jnp.max(wi)) < 500
+        assert bool(jnp.all(jnp.isfinite(wd)))
+
+    def test_merge_dedup(self):
+        from open3d_ml_tpu.ops.morton import _merge_topk
+        # two curve lists sharing ids must not report a duplicate id twice
+        idx1 = jnp.asarray([[3, 7, 9]])
+        d1 = jnp.asarray([[0.1, 0.2, 0.3]])
+        idx2 = jnp.asarray([[3, 5, 9]])
+        d2 = jnp.asarray([[0.1, 0.15, 0.3]])
+        mi, md = _merge_topk([idx1, idx2], [d1, d2], 4)
+        ids = np.asarray(mi)[0]
+        assert len(set(ids.tolist())) == 4
+        np.testing.assert_allclose(np.sort(np.asarray(md)[0]),
+                                   [0.1, 0.15, 0.2, 0.3])
+
+    def test_pyramid_window_method(self):
+        from open3d_ml_tpu.ops.neighbors import build_knn_pyramid
+        pts = jnp.asarray(self._cloud(4096, seed=2))
+        pyr = jax.jit(lambda p: build_knn_pyramid(
+            p, 8, [4, 4], method="window"))(pts)
+        assert pyr["neighbor_indices"][0].shape == (4096, 8)
+        assert pyr["neighbor_indices"][1].shape == (1024, 8)
+        assert pyr["sub_idx"][0].shape == (1024, 8)
+        assert pyr["interp_idx"][0].shape == (4096, 1)
+        assert int(jnp.max(pyr["neighbor_indices"][0])) < 4096
