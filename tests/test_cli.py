@@ -118,3 +118,33 @@ class TestDefaultCfgs:
                         (sub / "train_test_split" /
                          f"shuffled_{s}_file_list.json").write_text("[]")
                 cls(**d)
+
+
+class TestExperimentConfigs:
+    """Every experiment YAML builds its model and pipeline classes — the
+    analog of the reference's config-driven integration tests
+    (tests/test_integration.py)."""
+
+    def test_all_experiment_configs_build(self):
+        import glob
+        import os
+        from open3d_ml_tpu.utils import Config
+        from open3d_ml_tpu.utils.builder import get_module
+
+        root = os.path.join(os.path.dirname(__file__), "..",
+                            "open3d_ml_tpu", "configs")
+        files = sorted(glob.glob(os.path.join(root, "*.yml")))
+        assert len(files) == 20
+        for f in files:
+            cfg = Config.load_from_file(f)
+            m = cfg.model.to_dict()
+            name = m.pop("name")
+            m.pop("batcher", None)
+            m.pop("ckpt_path", None)
+            model_cls = get_module("model", name)
+            model = model_cls(**m)
+            assert model.cfg is not None, f
+            p = cfg.pipeline.to_dict()
+            get_module("pipeline", p["name"])
+            d = cfg.dataset.to_dict()
+            get_module("dataset", d["name"])
