@@ -75,6 +75,18 @@ class DataProcessing:
         return np.loadtxt(filename, dtype=np.int32).reshape(-1)
 
     @staticmethod
+    def data_aug(xyz, color, labels, idx, num_out):
+        """Pad a cropped patch to num_out points by re-sampling its own
+        rows (reference dataprocessing.py:106-117): duplicates are drawn
+        from the existing indices so feature statistics are preserved."""
+        num_in = len(xyz)
+        sel = np.concatenate([
+            np.arange(num_in),
+            np.random.choice(num_in, num_out - num_in)
+        ])
+        return xyz[sel], color[sel], idx[sel], labels[sel]
+
+    @staticmethod
     def shuffle_idx(x, rng=None):
         rng = rng or np.random.default_rng()
         idx = rng.permutation(len(x))
