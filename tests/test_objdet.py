@@ -138,6 +138,35 @@ class TestPointPillarsTraining:
         boxes = pipe.run_inference(data)
         assert isinstance(boxes, list)  # untrained => arbitrary detections
 
+    def test_ckpt_save_resume(self, mini_kitti, tmp_path):
+        """Objdet checkpoint roundtrip: save at epoch end, resume restores
+        epoch + params (reference object_detection.py:542-576)."""
+        import jax
+        from open3d_ml_tpu.datasets import KITTI
+        from open3d_ml_tpu.pipelines import ObjectDetection
+
+        ds = KITTI(dataset_path=str(mini_kitti), val_split=3,
+                   use_cache=False)
+        model = _make_model()
+        kwargs = dict(dataset=ds, max_epoch=0, batch_size=2,
+                      val_batch_size=2, save_ckpt_freq=1,
+                      validation_freq=100,
+                      main_log_dir=str(tmp_path / "logs"),
+                      train_sum_dir=str(tmp_path / "tb"),
+                      optimizer={"lr": 1e-3}, num_workers=0,
+                      overlaps=[0.25], similar_classes={})
+        pipe = ObjectDetection(model, **kwargs)
+        pipe.run_train()  # epoch 0 trains and saves
+        saved = jax.tree_util.tree_leaves(pipe.state.params)
+
+        pipe2 = ObjectDetection(_make_model(), **kwargs)
+        pipe2.run_train()  # finds the ckpt, resumes past max_epoch
+        restored = jax.tree_util.tree_leaves(pipe2.state.params)
+        assert len(saved) == len(restored)
+        for a, b in zip(saved, restored):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+
 
 class TestPointRCNNPipeline:
 
