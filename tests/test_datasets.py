@@ -215,3 +215,111 @@ class TestScannet:
         assert d["point"].shape == (n, 3)
         assert len(d["bounding_boxes"]) == 2
         assert d["label"].max() < 18
+
+
+class TestSemanticKITTI:
+
+    def test_read_and_remap(self, tmp_path):
+        from open3d_ml_tpu.datasets import SemanticKITTI
+        rng = np.random.default_rng(0)
+        seq = tmp_path / "dataset" / "sequences" / "00"
+        os.makedirs(seq / "velodyne")
+        os.makedirs(seq / "labels")
+        pts = rng.uniform(-20, 20, (300, 4)).astype(np.float32)
+        pts.tofile(seq / "velodyne" / "000000.bin")
+        # raw semantic ids: 40=road(->9), 10=car(->1), 0=unlabeled(->0);
+        # upper 16 bits carry instance ids which must be stripped
+        raw = np.zeros(300, np.uint32)
+        raw[:100] = 40
+        raw[100:200] = 10 | (7 << 16)
+        raw.astype(np.uint32).tofile(seq / "labels" / "000000.label")
+        ds = SemanticKITTI(dataset_path=str(tmp_path),
+                           training_split=["00"])
+        split = ds.get_split("training")
+        assert len(split) == 1
+        d = split.get_data(0)
+        assert d["point"].shape == (300, 3)
+        assert d["label"].shape == (300,)
+        labels = d["label"]
+        assert set(np.unique(labels[:100])) == {9}
+        assert set(np.unique(labels[100:200])) == {1}
+        assert set(np.unique(labels[200:])) == {0}
+
+
+class TestCustom3D:
+
+    def test_npy_dir(self, tmp_path):
+        from open3d_ml_tpu.datasets import Custom3D
+        rng = np.random.default_rng(0)
+        for split in ("train", "val", "test"):
+            os.makedirs(tmp_path / split)
+        np.save(tmp_path / "train" / "a.npy",
+                rng.uniform(0, 5, (50, 6)).astype(np.float32))
+        np.save(tmp_path / "val" / "b.npy",
+                {"point": rng.uniform(0, 5, (40, 3)).astype(np.float32),
+                 "label": rng.integers(0, 3, 40).astype(np.int32)})
+        ds = Custom3D(dataset_path=str(tmp_path))
+        tr = ds.get_split("training")
+        assert len(tr) == 1
+        d = tr.get_data(0)
+        assert d["point"].shape == (50, 3)
+        assert d["feat"].shape == (50, 3)
+        va = ds.get_split("validation")
+        dv = va.get_data(0)
+        assert dv["point"].shape == (40, 3)
+        assert dv["label"].max() < 3
+
+
+class TestPandaset:
+
+    def test_read(self, tmp_path):
+        import pandas as pd
+        from open3d_ml_tpu.datasets import Pandaset
+        rng = np.random.default_rng(0)
+        seq = tmp_path / "001"
+        os.makedirs(seq / "lidar")
+        os.makedirs(seq / "annotations" / "semseg")
+        n = 60
+        df = pd.DataFrame({
+            "x": rng.uniform(-5, 5, n), "y": rng.uniform(-5, 5, n),
+            "z": rng.uniform(-2, 1, n), "i": rng.uniform(0, 255, n),
+            "t": np.zeros(n), "d": np.zeros(n),
+        })
+        df.to_pickle(seq / "lidar" / "00.pkl")
+        pd.DataFrame({"class": rng.integers(1, 43, n)}).to_pickle(
+            seq / "annotations" / "semseg" / "00.pkl")
+        ds = Pandaset(dataset_path=str(tmp_path))
+        split = ds.get_split("training")
+        assert len(split) == 1
+        d = split.get_data(0)
+        assert d["point"].shape == (n, 3)
+        assert d["feat"].shape == (n, 1)
+        assert d["label"].shape == (n,)
+
+
+class TestShapeNet:
+
+    def test_read(self, tmp_path):
+        import json
+        from open3d_ml_tpu.datasets import ShapeNet
+        rng = np.random.default_rng(0)
+        sub = tmp_path / "shapenetcore_partanno_segmentation_benchmark_v0"
+        os.makedirs(sub / "02691156" / "points")
+        os.makedirs(sub / "02691156" / "points_label")
+        os.makedirs(sub / "train_test_split")
+        (sub / "synsetoffset2category.txt").write_text(
+            "Airplane\t02691156\n")
+        pts = rng.uniform(-1, 1, (80, 3)).astype(np.float32)
+        np.savetxt(sub / "02691156" / "points" / "m1.pts", pts)
+        np.savetxt(sub / "02691156" / "points_label" / "m1.seg",
+                   rng.integers(1, 5, 80), fmt="%d")
+        for s, files in (("train", ["shape_data/02691156/m1"]),
+                         ("val", []), ("test", [])):
+            (sub / "train_test_split" /
+             f"shuffled_{s}_file_list.json").write_text(json.dumps(files))
+        ds = ShapeNet(dataset_path=str(tmp_path))
+        split = ds.get_split("training")
+        assert len(split) == 1
+        d = split.get_data(0)
+        assert d["point"].shape == (80, 3)
+        assert d["label"].shape[0] in (1, 80)  # class or part labels
