@@ -323,3 +323,85 @@ class TestShapeNet:
         d = split.get_data(0)
         assert d["point"].shape == (80, 3)
         assert d["label"].shape[0] in (1, 80)  # class or part labels
+
+
+class TestMatterportObjects:
+
+    def test_read(self, tmp_path):
+        import joblib
+        from open3d_ml_tpu.datasets import MatterportObjects
+        rng = np.random.default_rng(0)
+        os.makedirs(tmp_path / "training" / "pc")
+        os.makedirs(tmp_path / "training" / "boxes")
+        os.makedirs(tmp_path / "testing" / "pc")
+        pc = rng.uniform(-3, 3, (70, 3)).astype(np.float32)
+        joblib.dump(pc, tmp_path / "training" / "pc" / "s0.bin")
+        boxes = [("chair", 0, 0, 10, 10, 1.0, 2.0, 0.5, 0.8, 0.6, 1.1,
+                  30.0)]
+        joblib.dump(boxes, tmp_path / "training" / "boxes" / "s0.txt")
+        joblib.dump(pc, tmp_path / "testing" / "pc" / "s1.bin")
+        ds = MatterportObjects(dataset_path=str(tmp_path))
+        split = ds.get_split("training")
+        assert len(split) == 1
+        d = split.get_data(0)
+        assert d["point"].shape == (70, 3)
+        assert len(d["bounding_boxes"]) == 1
+        assert d["bounding_boxes"][0].label_class == "chair"
+        assert len(ds.get_split("test")) == 1
+
+
+class TestSunRGBD:
+
+    def test_read(self, tmp_path):
+        import pickle
+        from open3d_ml_tpu.datasets import SunRGBD
+        rng = np.random.default_rng(0)
+        os.makedirs(tmp_path / "depth")
+        os.makedirs(tmp_path / "label")
+        pc = rng.uniform(-3, 3, (60, 6)).astype(np.float32)
+        np.save(tmp_path / "depth" / "000001.npy", pc)
+        # (name, cx, cy, cz, w/2, l/2, h/2, ori_x, ori_y)
+        boxes = [np.array(["bed", 1.0, 2.0, 0.4, 0.8, 1.0, 0.3, 1.0, 0.2],
+                          object)]
+        boxes[0] = ["bed", 1.0, 2.0, 0.4, 0.8, 1.0, 0.3, 1.0, 0.2]
+        with open(tmp_path / "label" / "000001.pkl", "wb") as f:
+            pickle.dump(boxes, f)
+        (tmp_path / "train_data_idx.txt").write_text("000001\n")
+        (tmp_path / "val_data_idx.txt").write_text("")
+        ds = SunRGBD(dataset_path=str(tmp_path))
+        split = ds.get_split("training")
+        assert len(split) == 1
+        d = split.get_data(0)
+        assert d["point"].shape == (60, 3)
+        assert d["feat"].shape == (60, 3)
+        assert len(d["bounding_boxes"]) == 1
+        assert d["bounding_boxes"][0].label_class == "bed"
+
+
+class TestTUMFacade:
+
+    def test_read(self, tmp_path):
+        from open3d_ml_tpu.datasets import TUMFacade
+        rng = np.random.default_rng(0)
+        crs = tmp_path / "pointclouds" / "annotatedLocalCRS"
+        os.makedirs(crs / "training_files")
+        os.makedirs(crs / "validation_files")
+        os.makedirs(crs / "test_files")
+        n = 40
+        pts = rng.uniform(0, 4, (n, 3)).astype(np.float32)
+        labels = rng.integers(0, 3, n).astype(np.int32)
+        header = ("# .PCD v0.7 - Point Cloud Data file format\n"
+                  "VERSION 0.7\nFIELDS x y z label\nSIZE 4 4 4 4\n"
+                  "TYPE F F F I\nCOUNT 1 1 1 1\n"
+                  f"WIDTH {n}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\n"
+                  f"POINTS {n}\nDATA ascii\n")
+        rows = "\n".join(
+            f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f} {l}"
+            for p, l in zip(pts, labels))
+        (crs / "training_files" / "f0.pcd").write_text(header + rows + "\n")
+        ds = TUMFacade(dataset_path=str(tmp_path))
+        split = ds.get_split("training")
+        assert len(split) == 1
+        d = split.get_data(0)
+        assert d["point"].shape == (n, 3)
+        assert d["label"].shape == (n,)
