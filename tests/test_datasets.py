@@ -405,3 +405,63 @@ class TestTUMFacade:
         d = split.get_data(0)
         assert d["point"].shape == (n, 3)
         assert d["label"].shape == (n,)
+
+
+class TestLyft:
+
+    def test_read_infos(self, tmp_path):
+        from open3d_ml_tpu.datasets import Lyft
+        rng = np.random.default_rng(0)
+        pc = rng.uniform(-10, 10, (200, 5)).astype(np.float32)
+        pc_path = tmp_path / "host_a_lidar0.bin"
+        pc.tofile(pc_path)
+        infos = [{
+            "lidar_path": str(pc_path),
+            "lidar2ego_rot": [0, 0, 0, 1],
+            "lidar2ego_tr": [0, 0, 1.5],
+            "num_lidar_pts": np.array([12, 0]),
+            "gt_boxes": np.array([[3, 1, 0, 1.9, 4.5, 1.6, 0.2],
+                                  [9, 2, 0, 1.9, 4.5, 1.6, 0.1]]),
+            "gt_names": np.array(["car", "bus"]),
+        }]
+        with open(tmp_path / "infos_train.pkl", "wb") as f:
+            pickle.dump(infos, f)
+        ds = Lyft(dataset_path=str(tmp_path))
+        split = ds.get_split("training")
+        assert len(split) == 1
+        d = split.get_data(0)
+        assert d["point"].shape == (200, 5)
+        assert len(d["bounding_boxes"]) == 1
+        assert d["bounding_boxes"][0].label_class == "car"
+
+
+class TestArgoverse:
+
+    def test_read_infos(self, tmp_path):
+        from open3d_ml_tpu.datasets import Argoverse
+        from open3d_ml_tpu.datasets.utils.ply import write_ply
+        rng = np.random.default_rng(0)
+        pts = rng.uniform(-20, 20, (150, 3)).astype(np.float32)
+        pc_path = tmp_path / "sweep0.ply"
+        write_ply(str(pc_path), [pts], ["x", "y", "z"])
+        infos = [{
+            "num_pc": 1,
+            "lidar_path": [str(pc_path)],
+            "bbox": [[{
+                "label_class": "VEHICLE",
+                "center": np.array([2.0, 1.0, 0.3]),
+                "w": 1.9, "h": 1.6, "l": 4.5,
+                "2d_coord": np.array([[0.0, 0.0], [1.0, 2.0]]),
+            }]],
+        }]
+        os.makedirs(tmp_path / "infos", exist_ok=True)
+        with open(tmp_path / "infos" / "infos_train.pkl", "wb") as f:
+            pickle.dump(infos, f)
+        ds = Argoverse(dataset_path=str(tmp_path),
+                       info_path=str(tmp_path / "infos"))
+        split = ds.get_split("training")
+        assert len(split) == 1
+        d = split.get_data(0)
+        assert d["point"].shape == (150, 3)
+        assert len(d["bounding_boxes"]) == 1
+        assert d["bounding_boxes"][0].label_class == "VEHICLE"
