@@ -33,18 +33,32 @@ from .base_model import BaseModel
 from .common import BatchedNet, batch_norm
 
 
-def queryandgroup(nsample, points, queries, feat, use_xyz=True):
+def queryandgroup(nsample, points, queries, feat, use_xyz=True,
+                  method="exact"):
     """KNN-group features around queries (reference :650-736, ragged ops
     replaced by dense per-sample gathers).
 
+    The coordinate and feature rows are gathered in ONE fused gather (row
+    gathers are latency-bound on TPU, so one wide gather beats two narrow
+    ones). ``method`` selects the neighbor search: 'exact', 'approx'
+    (jax.lax.approx_min_k) or 'window' (Morton-curve, ops/morton.py).
+
     Returns [Q, nsample, 3+C] (or [Q, nsample, C] without xyz).
     """
-    idx, _ = knn_search(points, queries, nsample)
-    grouped_xyz = points[idx] - queries[:, None, :]  # [Q, K, 3]
-    grouped_feat = feat[idx]  # [Q, K, C]
+    if method == "window":
+        from ..ops.morton import knn_window
+        idx, _ = knn_window(points, queries, nsample)
+    elif method == "approx":
+        idx, _ = knn_search(points, queries, nsample, exact=False)
+    else:
+        idx, _ = knn_search(points, queries, nsample)
+    cat = jnp.concatenate([points, feat], axis=-1)
+    gathered = cat[idx]  # [Q, K, 3+C]
     if use_xyz:
-        return jnp.concatenate([grouped_xyz, grouped_feat], axis=-1), idx
-    return grouped_feat, idx
+        grouped_xyz = gathered[..., :3] - queries[:, None, :]
+        return jnp.concatenate([grouped_xyz, gathered[..., 3:]], axis=-1), \
+            idx
+    return gathered[..., 3:], idx
 
 
 class Transformer(nn.Module):
@@ -52,6 +66,7 @@ class Transformer(nn.Module):
     out_planes: int
     share_planes: int = 8
     nsample: int = 16
+    knn_method: str = "exact"
 
     @nn.compact
     def __call__(self, point, feat, training=False):
@@ -61,10 +76,13 @@ class Transformer(nn.Module):
         feat_k = nn.Dense(c, name="linear_k")(feat)
         feat_v = nn.Dense(c, name="linear_v")(feat)
 
-        fk, idx = queryandgroup(self.nsample, point, point, feat_k,
-                                use_xyz=True)
-        point_r, feat_k = fk[:, :, 0:3], fk[:, :, 3:]
-        feat_v = feat_v[idx]  # [N, K, C]
+        # k and v share the neighbor indices: gather them fused
+        fk, idx = queryandgroup(self.nsample, point, point,
+                                jnp.concatenate([feat_k, feat_v], axis=-1),
+                                use_xyz=True, method=self.knn_method)
+        point_r = fk[:, :, 0:3]
+        feat_k = fk[:, :, 3:3 + c]
+        feat_v = fk[:, :, 3 + c:]
 
         # positional MLP: Linear(3,3) -> BN -> ReLU -> Linear(3, C)
         point_r = nn.Dense(3, name="linear_p0")(point_r)
@@ -95,6 +113,7 @@ class TransitionDown(nn.Module):
     out_planes: int
     stride: int = 1
     nsample: int = 16
+    knn_method: str = "exact"
 
     @nn.compact
     def __call__(self, point, feat, training=False):
@@ -103,7 +122,8 @@ class TransitionDown(nn.Module):
             idx = furthest_point_sampling(point, m)
             new_point = point[idx]
             grouped, _ = queryandgroup(self.nsample, point, new_point, feat,
-                                       use_xyz=True)  # [m, K, 3+C]
+                                       use_xyz=True,
+                                       method=self.knn_method)  # [m, K, 3+C]
             x = nn.Dense(self.out_planes, use_bias=False,
                          name="linear")(grouped)
             x = batch_norm(training, name="bn")(x)
@@ -151,6 +171,7 @@ class Bottleneck(nn.Module):
     planes: int
     share_planes: int = 8
     nsample: int = 16
+    knn_method: str = "exact"
 
     @nn.compact
     def __call__(self, point, feat, training=False):
@@ -159,7 +180,8 @@ class Bottleneck(nn.Module):
         x = batch_norm(training, name="bn1")(x)
         x = nn.relu(x)
         x = Transformer(self.planes, self.share_planes, self.nsample,
-                        name="transformer2")(point, x, training=training)
+                        self.knn_method, name="transformer2")(
+            point, x, training=training)
         x = batch_norm(training, name="bn2")(x)
         x = nn.relu(x)
         x = nn.Dense(self.planes, use_bias=False, name="linear3")(x)
@@ -172,6 +194,7 @@ class PointTransformerNet(nn.Module):
     blocks: tuple
     in_channels: int
     num_classes: int
+    knn_method: str = "exact"  # 'exact' | 'approx' | 'window'
 
     @nn.compact
     def __call__(self, inputs, training=False):
@@ -190,10 +213,11 @@ class PointTransformerNet(nn.Module):
         points, feats = [point], [feat]
         for i in range(5):
             p, f = TransitionDown(planes[i], stride[i], nsample[i],
-                                  name=f"enc{i}_down")(
+                                  self.knn_method, name=f"enc{i}_down")(
                 points[-1], feats[-1], training=training)
             for b in range(1, self.blocks[i]):
                 p, f2 = p, Bottleneck(planes[i], share_planes, nsample[i],
+                                      self.knn_method,
                                       name=f"enc{i}_block{b}")(
                     p, f, training=training)
                 f = f2
@@ -212,7 +236,7 @@ class PointTransformerNet(nn.Module):
                     (points[i + 1], feats[i + 1]),
                     (points[i + 2], feats[i + 2]), training=training)
             f = Bottleneck(planes[i], share_planes, nsample[i],
-                           name=f"{name}_block1")(
+                           self.knn_method, name=f"{name}_block1")(
                 points[i + 1], f, training=training)
             feats[i + 1] = f
 
@@ -236,6 +260,7 @@ class PointTransformer(BaseModel):
                  ignored_label_inds=[],
                  batcher="DefaultBatcher",
                  augment=None,
+                 knn_method="exact",
                  **kwargs):
         super().__init__(name=name,
                          blocks=blocks,
@@ -247,6 +272,7 @@ class PointTransformer(BaseModel):
                          ignored_label_inds=ignored_label_inds,
                          batcher=batcher,
                          augment=augment,
+                         knn_method=knn_method,
                          **kwargs)
         self.augmenter = SemsegAugmentation(self.cfg.augment, seed=self.rng)
 
@@ -255,7 +281,8 @@ class PointTransformer(BaseModel):
         return BatchedNet(net=PointTransformerNet(
             blocks=tuple(cfg.blocks),
             in_channels=cfg.in_channels,
-            num_classes=cfg.num_classes))
+            num_classes=cfg.num_classes,
+            knn_method=cfg.get("knn_method", "exact")))
 
     def preprocess(self, data, attr):
         """Voxel-subsample + KD-tree (reference :198-256)."""
