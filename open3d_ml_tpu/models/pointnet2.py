@@ -68,9 +68,16 @@ class PointnetSAModuleMSG(nn.Module):
                 mask = jnp.ones((1, xyz.shape[0]), bool)
             else:
                 nidx, mask = ball_query(xyz, new_xyz, radius, nsample)
-                grouped_xyz = xyz[nidx] - new_xyz[:, None, :]
-                grouped_feat = features[nidx] if features is not None \
-                    else None
+                # one fused gather for coords + features: row gathers are
+                # latency-bound on TPU, a wide gather beats two narrow ones
+                if features is not None:
+                    cat = jnp.concatenate([xyz, features], axis=-1)
+                    g = cat[nidx]
+                    grouped_xyz = g[..., :3] - new_xyz[:, None, :]
+                    grouped_feat = g[..., 3:]
+                else:
+                    grouped_xyz = xyz[nidx] - new_xyz[:, None, :]
+                    grouped_feat = None
             if self.use_xyz:
                 feats = grouped_xyz if grouped_feat is None else \
                     jnp.concatenate([grouped_xyz, grouped_feat], axis=-1)
