@@ -129,12 +129,16 @@ class KPConvOp(nn.Module):
                                fixed=self.fixed_kernel_points))  # [P,3]
 
         ns = s_pts.shape[0]
-        s_pad = jnp.concatenate(
-            [s_pts, jnp.full((1, 3), 1e6, s_pts.dtype)], axis=0)
-        x_pad = jnp.concatenate(
-            [x, jnp.zeros((1, x.shape[-1]), x.dtype)], axis=0)
-
-        neighbors = s_pad[neighb_inds] - q_pts[:, None, :]  # [Nq,K,3]
+        # one fused gather for support coords + features (row gathers are
+        # latency-bound on TPU; one wide gather beats two narrow ones)
+        cat = jnp.concatenate([s_pts, x.astype(s_pts.dtype)], axis=-1)
+        cat_pad = jnp.concatenate(
+            [cat,
+             jnp.concatenate([jnp.full((1, 3), 1e6, s_pts.dtype),
+                              jnp.zeros((1, x.shape[-1]), s_pts.dtype)],
+                             axis=-1)], axis=0)
+        gathered = cat_pad[neighb_inds]  # [Nq,K,3+Cin]
+        neighbors = gathered[..., :3] - q_pts[:, None, :]  # [Nq,K,3]
 
         if self.deformable:
             offset_feat = KPConvOp(
@@ -157,7 +161,7 @@ class KPConvOp(nn.Module):
             closest = jnp.argmin(sq_d, axis=2)
             all_w = all_w * jax.nn.one_hot(closest, p, dtype=all_w.dtype)
 
-        neighb_x = x_pad[neighb_inds]  # [Nq,K,Cin]
+        neighb_x = gathered[..., 3:].astype(x.dtype)  # [Nq,K,Cin]
         # [Nq,P,Cin] = sum_K w[n,k,p] * x[n,k,c]
         weighted = jnp.einsum("nkp,nkc->npc", all_w, neighb_x,
                               preferred_element_type=jnp.float32)
