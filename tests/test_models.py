@@ -146,3 +146,33 @@ class TestCompiledModel:
         # attribute passthrough to the wrapped model
         assert wrapped.cfg is model.cfg
         assert wrapped.name == model.name
+
+
+class TestRandLANetWindowKNN:
+    """RandLA-Net end to end with the Morton-window neighbor method."""
+
+    def test_forward_window_method(self):
+        import jax
+        import jax.numpy as jnp
+        from open3d_ml_tpu.models import RandLANet
+
+        model = RandLANet(num_points=1024, num_classes=5,
+                          ignored_label_inds=[], in_channels=3,
+                          dim_features=8, dim_output=[16, 32],
+                          sub_sampling_ratio=[4, 4], num_layers=2,
+                          knn_method="window")
+        net = model.get_net()
+        rng = np.random.default_rng(0)
+        batch = {
+            "coords": jnp.asarray(rng.uniform(0, 20, (2, 1024, 3)),
+                                  jnp.float32),
+            "features": jnp.asarray(rng.standard_normal((2, 1024, 3)),
+                                    jnp.float32),
+        }
+        key = jax.random.PRNGKey(0)
+        v = jax.jit(lambda b: net.init({"params": key, "dropout": key}, b,
+                                       training=False))(batch)
+        out = jax.jit(lambda v, b: net.apply(v, b, training=False))(v,
+                                                                    batch)
+        assert out.shape == (2, 1024, 5)
+        assert bool(jnp.isfinite(out).all())
