@@ -16,6 +16,10 @@ use brute force / grid hashing). Design:
 
 Work per level-0 query drops from N (brute force / approx_min_k scan) to
 `span` (~0.5-1k), a 30-60x reduction at N=45k.
+
+Measured recall vs scipy cKDTree ground truth on a lidar-density cloud
+(N=45k, radial falloff): self-KNN k=16 -> 0.98 (3 curves, window=128);
+cross 1-NN upsample (11k refs, 45k queries) -> 0.98 (2 curves).
 """
 
 import functools
