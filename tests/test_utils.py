@@ -120,3 +120,27 @@ class TestLog:
         (tmp_path / "00009_bar").mkdir()
         assert get_runid(str(tmp_path / "foo")) == "00004"
         assert get_runid(str(tmp_path / "new")) == "00001"
+
+
+class TestProfiling:
+
+    def test_step_timer(self):
+        import time
+        from open3d_ml_tpu.utils.profiling import StepTimer
+
+        t = StepTimer(warmup=1)
+        for _ in range(4):
+            with t.step():
+                time.sleep(0.01)
+        s = t.summary()
+        assert s["steps"] == 4  # total steps; stats exclude warmup
+        assert 0.005 < s["mean_s"] < 0.5
+
+    def test_annotate_and_trace_noop(self, tmp_path):
+        import jax.numpy as jnp
+        from open3d_ml_tpu.utils.profiling import annotate, trace
+
+        with trace(str(tmp_path / "prof"), enabled=False):
+            with annotate("block"):
+                x = jnp.ones(4) + 1
+        assert float(x.sum()) == 8.0
