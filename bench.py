@@ -1,27 +1,56 @@
-"""Benchmark: RandLA-Net SemanticKITTI-config inference throughput.
+"""Benchmark: flagship-model inference throughput on one TPU chip.
 
-Measures end-to-end device throughput of the flagship semseg model at the
-real SemanticKITTI patch size (num_points=45056, batch 4), INCLUDING the
-on-device KNN/pool/upsample pyramid (which the reference computes on the CPU
-in DataLoader workers — here it is part of the XLA program).
+Primary metric: RandLA-Net SemanticKITTI-config inference (num_points=45056,
+batch 4) in points/sec — INCLUDING the on-device KNN/pool/upsample pyramid
+(which the reference computes on the CPU in DataLoader workers; here it is
+part of the XLA program). Secondary metric (extra field in the same JSON
+line): PointPillars KITTI-config scans/sec (voxelize -> PFN -> BEV scatter ->
+SECOND/FPN -> head, on-device end to end).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Never tracebacks: on persistent backend failure it prints the JSON line with
+an "error" field and exits 0, so a transient TPU-relay blip cannot erase the
+round's record.
 
 Baseline: the reference publishes no throughput numbers (SURVEY.md section
 6). We use 1.0e6 points/sec as the reference-CUDA estimate for RandLA-Net
 inference on a single modern GPU (45k-point patch in ~45 ms); the BASELINE
-target is >=3x that per chip, i.e. vs_baseline >= 3.0.
+target is >=3x that per chip, i.e. vs_baseline >= 3.0. For PointPillars the
+anchor is 50 scans/sec (~20 ms/scan on a modern GPU for the KITTI config).
 """
 
 import json
 import time
+import traceback
 
 import numpy as np
 
 REFERENCE_POINTS_PER_SEC = 1.0e6
+REFERENCE_PP_SCANS_PER_SEC = 50.0
 
 
-def main():
+def _probe_devices(retries=6, delay=5.0):
+    """Probe the backend with retry/backoff; a relay blip at t=0 must not
+    kill the run. Returns the device list (raises after all retries)."""
+    import jax
+    last = None
+    for attempt in range(retries):
+        try:
+            devs = jax.devices()
+            # force one tiny dispatch so a half-up relay fails here, inside
+            # the retry loop, instead of at the first real array build
+            import jax.numpy as jnp
+            float(jnp.zeros(()) + 1.0)
+            return devs
+        except Exception as e:  # noqa: BLE001 - any backend error retries
+            last = e
+            time.sleep(delay * (1.5 ** attempt))
+    raise RuntimeError(f"no usable jax backend after {retries} probes: "
+                       f"{last}")
+
+
+def bench_randlanet():
+    """RandLA-Net inference points/sec at the SemanticKITTI patch size."""
     import jax
     import jax.numpy as jnp
     from open3d_ml_tpu.models import RandLANet
@@ -56,16 +85,92 @@ def main():
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
-        s = float(fwd(variables, batch))
+        float(fwd(variables, batch))
     dt = time.perf_counter() - t0
+    return batch_size * num_points * iters / dt
 
-    points_per_sec = batch_size * num_points * iters / dt
-    print(json.dumps({
+
+def bench_pointpillars():
+    """PointPillars KITTI-config scans/sec (end-to-end on-device forward).
+
+    Reference flow being measured: voxelize -> PillarFeatureNet -> BEV
+    scatter -> SECOND -> SECONDFPN -> Anchor3DHead
+    (/root/reference/ml3d/torch/models/point_pillars.py:130-134).
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    from open3d_ml_tpu.models import PointPillars
+    from open3d_ml_tpu.utils import Config
+
+    cfg_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "open3d_ml_tpu", "configs",
+                            "pointpillars_kitti.yml")
+    cfg = Config.load_from_file(cfg_path)
+    model_cfg = dict(cfg.model)
+    model_cfg.pop("name", None)
+    model = PointPillars(**model_cfg)
+    net = model.get_net(training=False)
+
+    batch_size = 4
+    num_points = 20000  # typical KITTI scan size after range filtering
+    rng = np.random.default_rng(0)
+    pts = np.zeros((batch_size, model.cfg.max_points, 4), np.float32)
+    pr = model.point_cloud_range
+    pts[:, :num_points, 0] = rng.uniform(pr[0], pr[3],
+                                         (batch_size, num_points))
+    pts[:, :num_points, 1] = rng.uniform(pr[1], pr[4],
+                                         (batch_size, num_points))
+    pts[:, :num_points, 2] = rng.uniform(pr[2], pr[5],
+                                         (batch_size, num_points))
+    pts[:, :num_points, 3] = rng.uniform(0, 1, (batch_size, num_points))
+    batch = {
+        "point": jnp.asarray(pts),
+        "point_count": jnp.full((batch_size,), num_points, jnp.int32),
+    }
+    key = jax.random.PRNGKey(0)
+    variables = jax.jit(
+        lambda b: net.init({"params": key}, b, training=False))(batch)
+    fwd = jax.jit(lambda v, b: jax.tree.map(
+        jnp.sum, net.apply(v, b, training=False)))
+
+    jax.tree.map(float, fwd(variables, batch))  # warmup + compile
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        jax.tree.map(float, fwd(variables, batch))
+    dt = time.perf_counter() - t0
+    return batch_size * iters / dt
+
+
+def main():
+    record = {
         "metric": "randlanet_inference_points_per_sec",
-        "value": round(points_per_sec, 1),
+        "value": 0.0,
         "unit": "points/sec/chip",
-        "vs_baseline": round(points_per_sec / REFERENCE_POINTS_PER_SEC, 3),
-    }))
+        "vs_baseline": 0.0,
+    }
+    try:
+        _probe_devices()
+        pps = bench_randlanet()
+        record["value"] = round(pps, 1)
+        record["vs_baseline"] = round(pps / REFERENCE_POINTS_PER_SEC, 3)
+    except Exception:  # noqa: BLE001 - record, never traceback
+        record["error"] = traceback.format_exc(limit=3)[-800:]
+        print(json.dumps(record))
+        return
+
+    try:
+        sps = bench_pointpillars()
+        record["pointpillars_scans_per_sec"] = round(sps, 2)
+        record["pointpillars_vs_baseline"] = round(
+            sps / REFERENCE_PP_SCANS_PER_SEC, 3)
+    except Exception:  # noqa: BLE001 - secondary metric must not kill run
+        record["pointpillars_error"] = traceback.format_exc(limit=2)[-400:]
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

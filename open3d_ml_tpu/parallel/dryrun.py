@@ -16,7 +16,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def dryrun_train_step(n_devices, num_points=512, num_classes=8,
+def dryrun_train_step(n_devices, num_points=256, num_classes=8,
                       model_parallel=None):
     """Build an n-device mesh, jit the full RandLA-Net train step over it,
     run ONE step on tiny shapes. Returns the (finite) loss as a float.
@@ -27,6 +27,18 @@ def dryrun_train_step(n_devices, num_points=512, num_classes=8,
     collectives between them.
     """
     from ..models import RandLANet
+
+    # Persistent compilation cache: the dryrun is compile-dominated on the
+    # virtual CPU mesh; repeat runs on the same machine become near-instant.
+    try:
+        import os
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "..", "..", ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.abspath(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     if model_parallel is None:
         model_parallel = 2 if n_devices >= 4 and n_devices % 2 == 0 else 1
@@ -44,10 +56,14 @@ def dryrun_train_step(n_devices, num_points=512, num_classes=8,
             return NamedSharding(mesh, P(None, "model"))
         return rsh
 
+    # 2 encoder/decoder stages (not the production 4): the dryrun validates
+    # the mesh shardings and collectives, and compile time on the forced-CPU
+    # virtual mesh scales with graph depth. Shardings/collectives are
+    # identical per stage, so 2 stages exercise the same program structure.
     model = RandLANet(num_points=num_points, num_classes=num_classes,
                       ignored_label_inds=[0], in_channels=3, dim_features=8,
-                      dim_output=[16, 32, 64, 128],
-                      sub_sampling_ratio=[4, 4, 4, 4])
+                      num_layers=2, dim_output=[16, 32],
+                      sub_sampling_ratio=[4, 4])
     net = model.get_net()
 
     rng = np.random.default_rng(0)
@@ -64,8 +80,11 @@ def dryrun_train_step(n_devices, num_points=512, num_classes=8,
     batch = jax.tree.map(lambda x: jax.device_put(x, bsh), batch)
 
     key = jax.random.PRNGKey(0)
-    variables = net.init({"params": key, "dropout": key}, batch,
-                         training=False)
+    # jit the init: eager init dispatches hundreds of small programs, which
+    # dominates wall time on the forced-CPU virtual mesh.
+    variables = jax.jit(
+        lambda b: net.init({"params": key, "dropout": key}, b,
+                           training=False))(batch)
     params = jax.tree_util.tree_map_with_path(
         lambda path, x: jax.device_put(x, param_sharding(path, x)),
         variables["params"])
