@@ -36,6 +36,77 @@ def gather_neighbors(feat, idx):
     return feat[idx]
 
 
+class _IndexLevel:
+    """One pyramid level backed by plain (random-access) neighbor indices.
+
+    Gathers lower to XLA gather ops — latency-bound on TPU (~1.5 ns/row) but
+    exact and order-agnostic. Used for host-precomputed pyramids and the
+    exact/approx/grid/window on-device methods.
+    """
+
+    def __init__(self, coords, nbr_idx, pool_idx, up_idx):
+        self.coords = coords
+        self.nbr_idx = nbr_idx
+        self.pool_idx = pool_idx
+        self.up_idx = up_idx
+
+    def gather(self, v):
+        """[N, C] -> [N, K, C] neighbor gather."""
+        return v[self.nbr_idx]
+
+    def pool_max(self, v):
+        """[N, C] -> [N_sub, C] max over the kept points' neighbors."""
+        return jnp.max(v[self.pool_idx], axis=-2)
+
+    def upsample(self, v):
+        """[N_sub, C] -> [N, C] nearest-neighbor upsample."""
+        return v[self.up_idx]
+
+
+class _BucketLevel:
+    """One pyramid level over a Morton-sorted BATCH [B, N, .]: every
+    neighbor read is a block one-hot matmul against per-block segment tables
+    inside a Pallas kernel (MXU) instead of a random-access gather. See
+    ops/bucket.py + ops/pallas/bucket.py for the design and the measured
+    17 ms -> ~1 ms gap per [45k, 16, C] gather.
+    """
+
+    def __init__(self, coords, pyr, i, seg, qblock, compute_dtype,
+                 interpret=False):
+        from ..ops.pallas.bucket import gather_pallas
+        from ..ops.bucket import _pad_seg
+        self.coords = coords
+        self._gp = gather_pallas
+        self._pad = _pad_seg
+        self.seg = seg
+        self.qblock = qblock
+        self.dtype = compute_dtype
+        self.interpret = interpret
+        self.nbr_seg_ids = pyr["nbr_seg_ids"][i]
+        self.nbr_rel = pyr["nbr_rel"][i]
+        self.pool_seg_ids = pyr["pool_seg_ids"][i]
+        self.pool_rel = pyr["pool_rel"][i]
+        self.up_seg_ids = pyr["up_seg_ids"][i]
+        self.up_rel = pyr["up_rel"][i]
+
+    def gather(self, v):
+        """[B, N, C] -> [B, N, K, C]."""
+        return self._gp(self._pad(v, self.seg), self.nbr_seg_ids,
+                        self.nbr_rel, self.seg, self.qblock, self.dtype,
+                        self.interpret)
+
+    def pool_max(self, v):
+        g = self._gp(self._pad(v, self.seg), self.pool_seg_ids,
+                     self.pool_rel, self.seg, self.qblock, self.dtype,
+                     self.interpret)
+        return jnp.max(g, axis=-2)
+
+    def upsample(self, v):
+        return self._gp(self._pad(v, self.seg), self.up_seg_ids,
+                        self.up_rel, self.seg, self.qblock, self.dtype,
+                        self.interpret)[..., 0, :]
+
+
 class SharedMLP(nn.Module):
     """Dense + BatchNorm + LeakyReLU over the channel axis.
 
@@ -46,15 +117,19 @@ class SharedMLP(nn.Module):
     bn: bool = True
     slope: float | None = 0.2  # LeakyReLU negative slope; None = linear
     dtype: type = None  # compute dtype (bf16 halves HBM traffic on TPU)
+    # BN cross-sample axis: "batch" when the net runs per-sample under
+    # nn.vmap (stats psum'd across the vmapped axis, matching torch BN over
+    # (B, N)); None when the net runs directly on a [B, N, C] batch (the
+    # fused path), where flax BN already reduces over (B, N).
+    bn_axis: str | None = "batch"
 
     @nn.compact
     def __call__(self, x, training=False):
         x = nn.Dense(self.out_dim, dtype=self.dtype, name="conv")(x)
         if self.bn:
-            # axis_name="batch": stats are averaged across the vmapped batch
-            # axis (BatchedNet), matching torch BN over (B, N).
             x = nn.BatchNorm(use_running_average=not training,
-                             momentum=0.99, epsilon=1e-6, axis_name="batch",
+                             momentum=0.99, epsilon=1e-6,
+                             axis_name=self.bn_axis,
                              name="batch_norm")(x)
         if self.slope is not None:
             x = nn.leaky_relu(x, negative_slope=self.slope)
@@ -66,21 +141,24 @@ class LocalSpatialEncoding(nn.Module):
     features (reference randlanet.py:521-605)."""
     out_dim: int  # d_out//2 of the enclosing LFA
     encode_pos: bool = False
+    bn_axis: str | None = "batch"
+    dtype: type = None
 
     @nn.compact
-    def __call__(self, coords, feat, neighbor_idx, relative_features=None,
+    def __call__(self, coords, feat, level, relative_features=None,
                  training=False):
-        """coords [N,3], feat [N,d], neighbor_idx [N,K] (single sample;
-        batching via vmap in the top-level net)."""
+        """coords [..., N, 3], feat [..., N, d], level = pyramid level
+        context (single sample under vmap, or a full batch on the fused
+        path)."""
         if self.encode_pos:
             # fuse the coord + feature gathers into one: row gathers are
             # latency-bound on TPU, so one wide gather beats two narrow ones
             cat = jnp.concatenate([coords, feat], axis=-1)
-            gathered = gather_neighbors(cat, neighbor_idx)  # [N,K,3+d]
+            gathered = level.gather(cat)  # [...,N,K,3+d]
             nbr_coords = gathered[..., :3]
             nbr_feat = gathered[..., 3:]
-            ext_coords = coords[:, None, :]  # [N,1,3]
-            rel_pos = ext_coords - nbr_coords  # [N,K,3]
+            ext_coords = coords[..., None, :]  # [...,N,1,3]
+            rel_pos = ext_coords - nbr_coords  # [...,N,K,3]
             # +eps: the self-neighbor has distance exactly 0 and sqrt'(0)
             # would inject NaN into the gradient.
             rel_dist = jnp.sqrt(
@@ -88,13 +166,14 @@ class LocalSpatialEncoding(nn.Module):
             relative_features = jnp.concatenate([
                 rel_dist, rel_pos,
                 jnp.broadcast_to(ext_coords, nbr_coords.shape), nbr_coords
-            ], axis=-1)  # [N,K,10]
+            ], axis=-1)  # [...,N,K,10]
         elif relative_features is None:
             raise ValueError("LSE second pass needs relative_features")
         else:
-            nbr_feat = gather_neighbors(feat, neighbor_idx)  # [N,K,d]
+            nbr_feat = level.gather(feat)  # [...,N,K,d]
 
-        relative_features = SharedMLP(self.out_dim, name="mlp")(
+        relative_features = SharedMLP(self.out_dim, bn_axis=self.bn_axis,
+                                      dtype=self.dtype, name="mlp")(
             relative_features, training=training)
         return (jnp.concatenate([nbr_feat, relative_features], axis=-1),
                 relative_features)
@@ -104,45 +183,65 @@ class AttentivePooling(nn.Module):
     """Attention-weighted sum over the K axis (reference :608-640)."""
     in_dim: int
     out_dim: int
+    bn_axis: str | None = "batch"
+    dtype: type = None
 
     @nn.compact
     def __call__(self, x, training=False):
-        """x [N, K, d_in] -> [N, d_out]."""
-        scores = nn.Dense(self.in_dim, name="score_fn")(x)
+        """x [..., N, K, d_in] -> [..., N, d_out]."""
+        scores = nn.Dense(self.in_dim, dtype=self.dtype,
+                          name="score_fn")(x)
         scores = jax.nn.softmax(scores, axis=-2)
-        pooled = jnp.sum(scores * x, axis=-2)  # [N, d_in]
-        return SharedMLP(self.out_dim, name="mlp")(pooled, training=training)
+        pooled = jnp.sum(scores * x, axis=-2)  # [..., N, d_in]
+        return SharedMLP(self.out_dim, bn_axis=self.bn_axis,
+                         dtype=self.dtype,
+                         name="mlp")(pooled, training=training)
 
 
 class LocalFeatureAggregation(nn.Module):
     """Dilated residual block: 2x (LSE -> AttentivePooling) + shortcut
     (reference :642-692)."""
     d_out: int
+    bn_axis: str | None = "batch"
+    dtype: type = None
 
     @nn.compact
-    def __call__(self, coords, feat, neighbor_idx, training=False):
-        """coords [N,3], feat [N,d_in] -> [N, 2*d_out]."""
+    def __call__(self, coords, feat, level, training=False):
+        """coords [..., N, 3], feat [..., N, d_in] -> [..., N, 2*d_out]."""
         d = self.d_out
-        x = SharedMLP(d // 2, name="mlp1")(feat, training=training)
-        x, rel = LocalSpatialEncoding(d // 2, encode_pos=True, name="lse1")(
-            coords, x, neighbor_idx, training=training)
-        x = AttentivePooling(d, d // 2, name="pool1")(x, training=training)
-        x, _ = LocalSpatialEncoding(d // 2, name="lse2")(
-            coords, x, neighbor_idx, relative_features=rel,
-            training=training)
-        x = AttentivePooling(d, d, name="pool2")(x, training=training)
-        x = SharedMLP(2 * d, slope=None, name="mlp2")(x, training=training)
-        shortcut = SharedMLP(2 * d, slope=None, name="shortcut")(
+        ba, dt = self.bn_axis, self.dtype
+        x = SharedMLP(d // 2, bn_axis=ba, dtype=dt, name="mlp1")(
             feat, training=training)
+        x, rel = LocalSpatialEncoding(d // 2, encode_pos=True, bn_axis=ba,
+                                      dtype=dt, name="lse1")(
+            coords, x, level, training=training)
+        x = AttentivePooling(d, d // 2, bn_axis=ba, dtype=dt, name="pool1")(
+            x, training=training)
+        x, _ = LocalSpatialEncoding(d // 2, bn_axis=ba, dtype=dt,
+                                    name="lse2")(
+            coords, x, level, relative_features=rel,
+            training=training)
+        x = AttentivePooling(d, d, bn_axis=ba, dtype=dt, name="pool2")(
+            x, training=training)
+        x = SharedMLP(2 * d, slope=None, bn_axis=ba, dtype=dt, name="mlp2")(
+            x, training=training)
+        shortcut = SharedMLP(2 * d, slope=None, bn_axis=ba, dtype=dt,
+                             name="shortcut")(feat, training=training)
         # reference uses default-torch LeakyReLU slope 0.01 here (:692)
         return nn.leaky_relu(x + shortcut, negative_slope=0.01)
 
 
 class RandLANetNet(nn.Module):
-    """The RandLA-Net network as a flax module over ONE sample.
+    """The RandLA-Net network as a flax module.
 
-    Batch handling is vmap at the top (see RandLANet.get_net's Batched
-    wrapper) so gathers stay simple advanced indexing.
+    Two execution modes share one parameter tree:
+    * legacy index pyramids (exact/approx/grid/window or host-precomputed):
+      the module runs over ONE sample, batched by nn.vmap at the top (see
+      BatchedNet) so gathers stay simple advanced indexing;
+    * knn_method='fused': the module runs directly on the full [B, N, .]
+      batch — the Morton-bucket pyramid and all neighbor reads are batched
+      Pallas kernels (MXU one-hot matmuls), and BatchNorm reduces over
+      (B, N) natively (bn_axis=None).
     """
     num_neighbors: int
     num_layers: int
@@ -151,30 +250,77 @@ class RandLANetNet(nn.Module):
     dim_output: tuple
     sub_sampling_ratio: tuple
     knn_on_device: bool = True
-    knn_method: str = "approx"  # 'exact' | 'approx' | 'grid' | 'window'
+    # 'fused' (Morton-sorted block-local, fastest on TPU) | 'exact' |
+    # 'approx' | 'grid' | 'window'
+    knn_method: str = "fused"
     grid_cells: tuple = ()    # () = derive from grid_size
+    seg: int = 128            # fused path: points per Morton segment
+    block: int = 128          # fused path: queries per block
+    num_segs: int = 8         # fused path: candidate segments per block
+    presorted: bool = False   # True if the host already Morton-sorted
+    compute_dtype: str = "bfloat16"  # fused-path MLP compute dtype
+
+    def _build_levels(self, inputs):
+        """Returns (levels, perm): per-layer neighbor contexts, plus the
+        Morton permutation for the fused path (None otherwise)."""
+        if "neighbor_indices" in inputs:
+            return [
+                _IndexLevel(inputs["coords_pyramid"][i],
+                            inputs["neighbor_indices"][i],
+                            inputs["sub_idx"][i],
+                            inputs["interp_idx"][i][:, 0])
+                for i in range(self.num_layers)
+            ], None
+        if self.knn_method == "fused":
+            from ..ops.bucket import build_bucket_pyramid_tpu
+            interpret = jax.default_backend() == "cpu"
+            pyr = build_bucket_pyramid_tpu(
+                inputs["coords"], self.num_neighbors,
+                list(self.sub_sampling_ratio), seg=self.seg,
+                qblock=self.block, num_segs=self.num_segs,
+                presorted=self.presorted, interpret=interpret)
+            levels = [
+                _BucketLevel(pyr["coords"][i], pyr, i, self.seg, self.block,
+                             jnp.bfloat16, interpret)
+                for i in range(self.num_layers)
+            ]
+            return levels, pyr["perm"]
+        pyramid = build_knn_pyramid(
+            inputs["coords"], self.num_neighbors,
+            list(self.sub_sampling_ratio), method=self.knn_method,
+            grid_cells=self.grid_cells or None)
+        return [
+            _IndexLevel(pyramid["coords"][i],
+                        pyramid["neighbor_indices"][i],
+                        pyramid["sub_idx"][i],
+                        pyramid["interp_idx"][i][:, 0])
+            for i in range(self.num_layers)
+        ], None
 
     @nn.compact
     def __call__(self, inputs, training=False):
         cfg_dims = list(self.dim_output)
-        feat = inputs["features"]  # [N, in_ch]
+        feat = inputs["features"]  # [..., N, in_ch]
+        # bn_axis=None only when running directly on the [B, N, C] batch
+        # (fused, on-device pyramid); every vmapped mode has a "batch" axis.
+        fused_batch = (self.knn_method == "fused" and
+                       "neighbor_indices" not in inputs)
+        bn_axis = None if fused_batch else "batch"
+        # bf16 MLP compute on the fused path: doubles MXU rate and halves
+        # HBM traffic; params and the logits head stay f32.
+        cdt = (jnp.bfloat16 if fused_batch and
+               self.compute_dtype == "bfloat16" else None)
 
-        if "neighbor_indices" in inputs:
-            pyramid = {
-                "coords": inputs["coords_pyramid"],
-                "neighbor_indices": inputs["neighbor_indices"],
-                "sub_idx": inputs["sub_idx"],
-                "interp_idx": inputs["interp_idx"],
-            }
-        else:
-            pyramid = build_knn_pyramid(
-                inputs["coords"], self.num_neighbors,
-                list(self.sub_sampling_ratio), method=self.knn_method,
-                grid_cells=self.grid_cells or None)
+        levels, perm = self._build_levels(inputs)
+        if perm is not None:
+            # Morton-sorted execution: permute features into sorted order
+            # once (cheap [B, N, C] row gather), un-permute the logits at
+            # the end. Everything in between is block-local MXU work.
+            feat = jnp.take_along_axis(feat, perm[..., None], axis=-2)
 
-        feat = nn.Dense(self.dim_features, name="fc0")(feat)
+        feat = nn.Dense(self.dim_features, dtype=cdt, name="fc0")(feat)
         feat = nn.BatchNorm(use_running_average=not training, momentum=0.99,
-                            epsilon=1e-6, axis_name="batch",
+                            epsilon=1e-6, axis_name=bn_axis,
                             name="bn0")(feat)
         feat = nn.leaky_relu(feat, negative_slope=0.2)
 
@@ -183,36 +329,42 @@ class RandLANetNet(nn.Module):
         dim_feature = self.dim_features
         for i in range(self.num_layers):
             feat_enc = LocalFeatureAggregation(
-                cfg_dims[i], name=f"encoder_{i}")(
-                    pyramid["coords"][i], feat,
-                    pyramid["neighbor_indices"][i], training=training)
-            # random subsample: gather pool neighbors and max over K
-            pool_idx = pyramid["sub_idx"][i]  # [N_sub, K]
-            feat_sampled = jnp.max(gather_neighbors(feat_enc, pool_idx),
-                                   axis=-2)  # [N_sub, 2*d_out]
+                cfg_dims[i], bn_axis=bn_axis, dtype=cdt,
+                name=f"encoder_{i}")(
+                    levels[i].coords, feat, levels[i], training=training)
+            # subsample: max-pool each kept point's neighborhood
+            feat_sampled = levels[i].pool_max(feat_enc)  # [...,N_sub,2*d]
             if i == 0:
                 encoder_feats.append(feat_enc)
             encoder_feats.append(feat_sampled)
             feat = feat_sampled
             dim_feature = 2 * cfg_dims[i]
 
-        feat = SharedMLP(dim_feature, name="mlp")(feat, training=training)
+        feat = SharedMLP(dim_feature, bn_axis=bn_axis, dtype=cdt,
+                         name="mlp")(feat, training=training)
 
         # Decoder
         for i in range(self.num_layers):
-            up_idx = pyramid["interp_idx"][-i - 1][:, 0]  # [N_up]
-            feat_interp = feat[up_idx]  # nearest-neighbor upsample
+            feat_interp = levels[-i - 1].upsample(feat)
             feat = jnp.concatenate([encoder_feats[-i - 2], feat_interp],
                                    axis=-1)
             feat = SharedMLP(encoder_feats[-i - 2].shape[-1],
+                             bn_axis=bn_axis, dtype=cdt,
                              name=f"decoder_{i}")(feat, training=training)
 
-        feat = SharedMLP(64, name="fc1_0")(feat, training=training)
-        feat = SharedMLP(32, name="fc1_1")(feat, training=training)
+        feat = SharedMLP(64, bn_axis=bn_axis, dtype=cdt, name="fc1_0")(
+            feat, training=training)
+        feat = SharedMLP(32, bn_axis=bn_axis, dtype=cdt, name="fc1_1")(
+            feat, training=training)
         feat = nn.Dropout(0.5, deterministic=not training)(feat)
         scores = SharedMLP(self.num_classes, bn=False, slope=None,
                            name="fc1_3")(feat, training=training)
-        return scores  # [N, num_classes]
+        if perm is not None:
+            # un-permute back to the caller's point order:
+            # out[perm[i]] = scores[i]  <=>  out = scores[argsort(perm)]
+            inv = jnp.argsort(perm, axis=-1)
+            scores = jnp.take_along_axis(scores, inv[..., None], axis=-2)
+        return scores  # [..., N, num_classes]
 
 
 class BatchedNet(nn.Module):
@@ -229,7 +381,14 @@ class BatchedNet(nn.Module):
     @nn.compact
     def __call__(self, inputs, training=False):
         if ("neighbor_indices" not in inputs and
-                getattr(self.net, "knn_on_device", False)):
+                self.net.knn_method == "fused"):
+            # fused path: the net consumes the whole [B, N, .] batch
+            # directly — batched Pallas kernels, no vmap (BN reduces over
+            # (B, N) natively, matching torch semantics)
+            return self.net(inputs, training=training)
+        if ("neighbor_indices" not in inputs and
+                getattr(self.net, "knn_on_device", False) and
+                self.net.knn_method != "fused"):
             b = inputs["coords"].shape[0]
             build = lambda c: build_knn_pyramid(
                 c, self.net.num_neighbors,
@@ -281,8 +440,13 @@ class RandLANet(BaseModel):
                  batcher="DefaultBatcher",
                  ckpt_path=None,
                  knn_on_device=True,
-                 knn_method="approx",
+                 knn_method="fused",
                  grid_cells=None,
+                 seg=128,
+                 block=128,
+                 num_segs=8,
+                 presorted=False,
+                 compute_dtype="bfloat16",
                  augment={},
                  **kwargs):
         super().__init__(name=name,
@@ -301,6 +465,11 @@ class RandLANet(BaseModel):
                          knn_on_device=knn_on_device,
                          knn_method=knn_method,
                          grid_cells=grid_cells,
+                         seg=seg,
+                         block=block,
+                         num_segs=num_segs,
+                         presorted=presorted,
+                         compute_dtype=compute_dtype,
                          augment=augment,
                          **kwargs)
         self.augmenter = SemsegAugmentation(self.cfg.augment, seed=self.rng)
@@ -317,7 +486,12 @@ class RandLANet(BaseModel):
             knn_on_device=cfg.knn_on_device,
             knn_method=cfg.knn_method,
             grid_cells=tuple(cfg.grid_cells) if cfg.grid_cells else
-            tuple(cfg.grid_size * f for f in (4.0, 16.0, 64.0, 256.0)))
+            tuple(cfg.grid_size * f for f in (4.0, 16.0, 64.0, 256.0)),
+            seg=cfg.seg,
+            block=cfg.block,
+            num_segs=cfg.num_segs,
+            presorted=cfg.presorted,
+            compute_dtype=cfg.compute_dtype)
         return BatchedNet(net=single)
 
     # ------------------------------------------------------------- host side
