@@ -53,6 +53,11 @@ class BaseModel(ABC):
     def get_optimizer(self, cfg_pipeline):
         """Return (optax_tx, lr_schedule_or_None)."""
 
+    def regularizer_loss(self, aux_collections):
+        """Extra loss from auxiliary variable collections returned by the
+        train-step apply (e.g. KPConv's sown "p2p_reg" terms). Default 0."""
+        return 0.0
+
     def init_variables(self, rng_key, sample_batch, training=False):
         """Initialize flax variables ({params, batch_stats?}) from a batch."""
         import jax

@@ -23,7 +23,10 @@ class BatchedNet(nn.Module):
             inputs = self.precompute(self.net, inputs)
         vnet = nn.vmap(
             lambda mdl, x: mdl(x, training=training),
-            variable_axes={"params": None, "batch_stats": None},
+            # "p2p_reg": per-deformable-KPConv regularizer terms sown inside
+            # the net (one value per sample; summed by regularizer_loss)
+            variable_axes={"params": None, "batch_stats": None,
+                           "p2p_reg": 0},
             split_rngs={"params": False, "dropout": True},
             in_axes=(0,),
             out_axes=0,

@@ -106,6 +106,7 @@ class KPConvOp(nn.Module):
     kp_influence: str = "linear"
     aggregation_mode: str = "sum"
     deformable: bool = False
+    repulse_extent: float = 1.2  # normalized units, reference yml :61
 
     def _influence(self, sq_distances):
         if self.kp_influence == "constant":
@@ -155,6 +156,25 @@ class KPConvOp(nn.Module):
         else:
             diff = neighbors[:, :, None, :] - kp[None, None, :, :]
         sq_d = jnp.sum(diff * diff, axis=-1)  # [Nq,K,P]
+
+        if self.deformable:
+            # p2p fitting regularizer terms (reference kpconv.py:2167-2209):
+            # sown per deformable conv, summed by KPFCNN.regularizer_loss
+            # when the train step requests the "p2p_reg" collection.
+            ext2 = self.kp_extent ** 2
+            min_d2 = jnp.min(sq_d, axis=1)  # [Nq, P] closest input point
+            self.sow("p2p_reg", "fitting", jnp.mean(min_d2) / ext2)
+            kp_locs = k_points / self.kp_extent  # [Nq, P, 3]
+            other = jax.lax.stop_gradient(kp_locs)
+            pd = jnp.sqrt(jnp.sum(
+                (kp_locs[:, :, None, :] - other[:, None, :, :]) ** 2,
+                axis=-1) + 1e-12)  # [Nq, P, P]
+            pair_mask = 1.0 - jnp.eye(p, dtype=pd.dtype)
+            rep = jnp.sum(
+                jnp.minimum(pd - self.repulse_extent, 0.0) ** 2 * pair_mask,
+                axis=2)  # [Nq, P] per-point repulsion to the others
+            self.sow("p2p_reg", "repulsive",
+                     jnp.mean(jnp.sum(rep, axis=1)) / p)
 
         all_w = self._influence(sq_d)  # [Nq,K,P]
         if self.aggregation_mode == "closest":
@@ -239,6 +259,7 @@ class SimpleBlock(nn.Module):
                      cfg["fixed_kernel_points"], cfg["KP_influence"],
                      cfg["aggregation_mode"],
                      deformable="deform" in self.block_name,
+                     repulse_extent=cfg.get("repulse_extent", 1.2),
                      name="KPConv")(q, s, nb, x)
         x = _bn(x, training, cfg["use_batch_norm"],
                 cfg["batch_norm_momentum"], "simple", self)
@@ -280,6 +301,7 @@ class ResnetBottleneckBlock(nn.Module):
                         cfg["fixed_kernel_points"], cfg["KP_influence"],
                         cfg["aggregation_mode"],
                         deformable="deform" in self.block_name,
+                        repulse_extent=cfg.get("repulse_extent", 1.2),
                         name="KPConv")(q, s, nb, feat)
         feat = _bn(feat, training, use_bn, mom, "conv", self)
         feat = nn.leaky_relu(feat, negative_slope=lr)
@@ -414,6 +436,9 @@ class KPFCNN(BaseModel):
                  first_subsampling_dl=0.06,
                  conv_radius=2.5,
                  deform_radius=6.0,
+                 deform_fitting_mode="point2point",
+                 deform_fitting_power=1.0,
+                 repulse_extent=1.2,
                  KP_extent=1.2,
                  KP_influence="linear",
                  aggregation_mode="sum",
@@ -440,6 +465,9 @@ class KPFCNN(BaseModel):
             num_kernel_points=num_kernel_points,
             first_subsampling_dl=first_subsampling_dl,
             conv_radius=conv_radius, deform_radius=deform_radius,
+            deform_fitting_mode=deform_fitting_mode,
+            deform_fitting_power=deform_fitting_power,
+            repulse_extent=repulse_extent,
             KP_extent=KP_extent, KP_influence=KP_influence,
             aggregation_mode=aggregation_mode,
             first_features_dim=first_features_dim,
@@ -666,7 +694,32 @@ class KPFCNN(BaseModel):
         loss = Loss.weighted_cross_entropy(scores, remapped, valid)
         return loss, remapped, scores
 
+    def regularizer_loss(self, aux_collections):
+        """p2p fitting regularizer over the deformable convs (reference
+        kpconv.py:2167-2209 + get_loss :340-346): power * (2*fitting +
+        repulsive), terms sown per conv by KPConvOp and averaged over the
+        vmapped batch axis here."""
+        reg = (aux_collections or {}).get("p2p_reg")
+        if not reg:
+            return 0.0
+        mode = self.cfg.get("deform_fitting_mode", "point2point")
+        if mode != "point2point":
+            raise ValueError(f"fitting mode {mode!r} not implemented")
+        fit = rep = 0.0
+        leaves = jax.tree_util.tree_flatten_with_path(reg)[0]
+        for path, leaf in leaves:
+            name = jax.tree_util.keystr(path)
+            if "fitting" in name:
+                fit = fit + jnp.mean(leaf)
+            elif "repulsive" in name:
+                rep = rep + jnp.mean(leaf)
+        power = self.cfg.get("deform_fitting_power", 1.0)
+        return power * (2.0 * fit + rep)
+
     def get_optimizer(self, cfg_pipeline):
+        """SGD+momentum with a reduced learning rate on the deformable
+        offset parameters (reference kpconv.py:293-314 param groups +
+        kpconv_semantickitti.yml:85 deform_lr_factor)."""
         import optax
         from ..modules.schedulers import exponential_lr
         opt = dict(cfg_pipeline.optimizer or {})
@@ -674,8 +727,23 @@ class KPFCNN(BaseModel):
         gamma = cfg_pipeline.get("scheduler_gamma", 0.98477)
         steps = cfg_pipeline.get("steps_per_epoch", 1)
         schedule = exponential_lr(lr, gamma, steps_per_epoch=steps)
-        return optax.sgd(learning_rate=schedule,
-                         momentum=opt.get("momentum", 0.98)), schedule
+        momentum = opt.get("momentum", 0.98)
+        factor = cfg_pipeline.get("deform_lr_factor", 1.0)
+        base = optax.sgd(learning_rate=schedule, momentum=momentum)
+        if factor == 1.0 or "deform" not in "".join(
+                self.cfg.architecture):
+            return base, schedule
+
+        deform_sched = lambda count: schedule(count) * factor
+        deform = optax.sgd(learning_rate=deform_sched, momentum=momentum)
+
+        def labels(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: "deform" if "offset" in
+                jax.tree_util.keystr(path) else "base", params)
+
+        return optax.multi_transform({"base": base, "deform": deform},
+                                     labels), schedule
 
     def update_probs(self, inputs, results, test_probs):
         test_smooth = 0.98

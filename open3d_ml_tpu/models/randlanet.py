@@ -360,9 +360,14 @@ class RandLANetNet(nn.Module):
         scores = SharedMLP(self.num_classes, bn=False, slope=None,
                            name="fc1_3")(feat, training=training)
         if perm is not None:
-            # un-permute back to the caller's point order:
-            # out[perm[i]] = scores[i]  <=>  out = scores[argsort(perm)]
-            inv = jnp.argsort(perm, axis=-1)
+            # un-permute back to the caller's point order. The inverse
+            # permutation is a scatter of iota (no second sort):
+            # inv[perm[i]] = i, then out = scores[inv].
+            n = perm.shape[-1]
+            ar = jnp.broadcast_to(jnp.arange(n, dtype=perm.dtype),
+                                  perm.shape)
+            inv = jnp.zeros_like(perm).at[
+                jnp.arange(perm.shape[0])[:, None], perm].set(ar)
             scores = jnp.take_along_axis(scores, inv[..., None], axis=-2)
         return scores  # [..., N, num_classes]
 

@@ -96,6 +96,48 @@ def _knn_kernel(sref, q_ref, *args, k, s, table):
     d2_ref[0] = best_d
 
 
+def _global_candidates(seg_ids, seg):
+    """[B, nqb, S] segment ids -> [B, nqb, S*seg] global row indices."""
+    offs = jnp.arange(seg, dtype=jnp.int32)
+    return (seg_ids[..., None] * seg + offs).reshape(
+        seg_ids.shape[0], seg_ids.shape[1], -1)
+
+
+def _knn_xla(points, queries, seg_ids, k, seg, qblock):
+    """XLA twin of the knn kernel (same contract, same results up to ties).
+
+    Used on CPU (tests / no-TPU hosts): the Mosaic interpreter is far too
+    slow for model-sized inputs, and this path exercises identical selection
+    and distance semantics.
+    """
+    b, n, _ = points.shape
+    _, q, _ = queries.shape
+    qpad = (-q) % qblock
+    qs = jnp.pad(queries[..., :3], ((0, 0), (0, qpad), (0, 0)),
+                 constant_values=2e9)
+    cand = _global_candidates(seg_ids, seg)  # [B, nqb, S*seg]
+
+    def one(pts, qrows, cnd):
+        tabs = pts[cnd][..., :3]  # [nqb, S*seg, 3]
+        qb = qrows.reshape(-1, qblock, 3)
+        d2 = (jnp.sum(qb * qb, -1)[..., None] +
+              jnp.sum(tabs * tabs, -1)[:, None, :] -
+              2.0 * jnp.einsum("bqc,btc->bqt", qb, tabs,
+                               precision=jax.lax.Precision.HIGHEST))
+        d2 = jnp.maximum(d2, 0.0)
+        if k == 1:
+            idx = jnp.argmin(d2, axis=-1).astype(jnp.int32)[..., None]
+            dd = jnp.min(d2, axis=-1)[..., None]
+        else:
+            neg, idx = jax.lax.top_k(-d2, k)
+            idx = idx.astype(jnp.int32)
+            dd = -neg
+        return idx.reshape(-1, k), dd.reshape(-1, k)
+
+    rel, d2 = jax.vmap(one)(points, qs, cand)
+    return rel[:, :q], d2[:, :q]
+
+
 def knn_pallas(points, queries, seg_ids, k, *, seg=128, qblock=128,
                interpret=False):
     """Exact KNN of each query inside its block's candidate table.
@@ -110,6 +152,9 @@ def knn_pallas(points, queries, seg_ids, k, *, seg=128, qblock=128,
 
     Returns (rel [B, Q, k] int32 indices into the S*seg table, d2 [B, Q, k]).
     """
+    if interpret:
+        return _knn_xla(points, queries, seg_ids, k, seg, qblock)
+
     b, n, d = points.shape
     _, q, _ = queries.shape
     _, nqb, s = seg_ids.shape
@@ -191,6 +236,14 @@ def _gather_fwd_impl(values, seg_ids, rel, seg, qblock, compute_dtype,
     _, q, k = rel.shape
     _, nqb, s = seg_ids.shape
     assert n % seg == 0, "pad values to a multiple of seg"
+
+    if interpret:
+        # XLA twin for CPU/tests (exact f32 rows; the kernel's bf16 one-hot
+        # matmul rounds values to bf16)
+        blk = jnp.arange(q)[None, :, None] // qblock
+        bidx = jnp.arange(b)[:, None, None]
+        glob = seg_ids[bidx, blk, rel // seg] * seg + rel % seg
+        return values[bidx, glob]
     qpad = (-q) % qblock
     relp = jnp.pad(rel, ((0, 0), (0, qpad), (0, 0))) if qpad else rel
 

@@ -125,11 +125,15 @@ class SemanticSegmentation(BasePipeline):
 
         def train_step(state, batch, dropout_key):
             def loss_fn(params):
+                # "p2p_reg" collects per-deformable-conv fitting terms sown
+                # by KPConvOp (absent for every other model)
                 results, updates = net.apply(
                     {"params": params, "batch_stats": state.batch_stats},
-                    batch, training=True, mutable=["batch_stats"],
+                    batch, training=True,
+                    mutable=["batch_stats", "p2p_reg"],
                     rngs={"dropout": dropout_key})
                 loss, labels, scores = model.get_loss(Loss, results, batch)
+                loss = loss + model.regularizer_loss(updates)
                 return loss, (updates["batch_stats"], labels, scores)
 
             (loss, (new_bs, labels, scores)), grads = jax.value_and_grad(

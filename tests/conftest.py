@@ -16,3 +16,10 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy e2e tests (8-device dryrun, full-config matrix, "
+        "multi-epoch training); deselect with -m 'not slow'")

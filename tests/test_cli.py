@@ -6,10 +6,12 @@ import sys
 from pathlib import Path
 
 import numpy as np
+import pytest
 
 REPO = Path(__file__).resolve().parent.parent
 
 
+@pytest.mark.slow
 def test_run_pipeline_train(tmp_path):
     rng = np.random.default_rng(0)
     for split in ("train", "val"):
@@ -125,6 +127,7 @@ class TestExperimentConfigs:
     analog of the reference's config-driven integration tests
     (tests/test_integration.py)."""
 
+    @pytest.mark.slow
     def test_all_experiment_configs_build(self):
         import glob
         import os

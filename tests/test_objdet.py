@@ -107,6 +107,7 @@ class TestKITTIReader:
 
 class TestPointPillarsTraining:
 
+    @pytest.mark.slow
     def test_train_and_validate(self, mini_kitti, tmp_path):
         from open3d_ml_tpu.datasets import KITTI
         from open3d_ml_tpu.pipelines import ObjectDetection
@@ -125,6 +126,7 @@ class TestPointPillarsTraining:
         for k, v in pipe.losses.items():
             assert np.isfinite(v).all(), k
 
+    @pytest.mark.slow
     def test_inference(self, mini_kitti, tmp_path):
         from open3d_ml_tpu.datasets import KITTI
         from open3d_ml_tpu.pipelines import ObjectDetection
@@ -138,6 +140,7 @@ class TestPointPillarsTraining:
         boxes = pipe.run_inference(data)
         assert isinstance(boxes, list)  # untrained => arbitrary detections
 
+    @pytest.mark.slow
     def test_ckpt_save_resume(self, mini_kitti, tmp_path):
         """Objdet checkpoint roundtrip: save at epoch end, resume restores
         epoch + params (reference object_detection.py:542-576)."""
@@ -170,6 +173,7 @@ class TestPointPillarsTraining:
 
 class TestPointRCNNPipeline:
 
+    @pytest.mark.slow
     def test_rpn_training(self, mini_kitti, tmp_path):
         from open3d_ml_tpu.datasets import KITTI
         from open3d_ml_tpu.models import PointRCNN

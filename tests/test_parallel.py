@@ -27,12 +27,14 @@ class TestMesh:
 
 class TestDataParallelTrainStep:
 
+    @pytest.mark.slow
     def test_dryrun_full_mesh(self):
         from open3d_ml_tpu.parallel.dryrun import dryrun_train_step
         n = len(jax.devices())
         loss = dryrun_train_step(n, num_points=256, num_classes=5)
         assert np.isfinite(loss)
 
+    @pytest.mark.slow
     def test_dp_grads_match_single_device(self):
         """DP gradient all-reduce must reproduce single-device grads."""
         import jax.numpy as jnp
@@ -92,6 +94,7 @@ class TestSpatialParallel:
         with pytest.raises(ValueError):
             shard_canvas(jnp.zeros((1, 63, 8, 4)), mesh)
 
+    @pytest.mark.slow
     def test_spatial_equals_replicated_numerics(self):
         """Sharded forward == unsharded forward bit-for-bit-ish."""
         import jax

@@ -46,6 +46,7 @@ def _make(tmp, **pipe_kwargs):
 
 class TestSemanticSegmentationPipeline:
 
+    @pytest.mark.slow
     def test_train_one_epoch(self, synthetic_dataset):
         ds, model, pipe = _make(synthetic_dataset, max_epoch=0)
         state = pipe.run_train()
@@ -57,10 +58,12 @@ class TestSemanticSegmentationPipeline:
             str(synthetic_dataset / "logs" / "*" / "checkpoint" / "ckpt_*"))
         assert len(ckpts) >= 1
 
+    @pytest.mark.slow
     def test_resume_from_ckpt(self, synthetic_dataset):
         ds, model, pipe = _make(synthetic_dataset, max_epoch=1)
         pipe.run_train()  # resumes from epoch saved by previous test
 
+    @pytest.mark.slow
     def test_run_test_possibility_maps(self, synthetic_dataset):
         """Full possibility-map test loop: every test cloud gets covered,
         predictions saved in the dataset's format."""
@@ -75,6 +78,7 @@ class TestSemanticSegmentationPipeline:
         # Custom3D writes into cfg.test_result_folder (default ./test)
         assert len(saved) >= 1
 
+    @pytest.mark.slow
     def test_inference(self, synthetic_dataset):
         ds, model, pipe = _make(synthetic_dataset)
         rng = np.random.default_rng(1)

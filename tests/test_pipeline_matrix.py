@@ -6,6 +6,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy e2e: full-suite budget control
+
 
 @pytest.fixture(scope="module")
 def rgb_dataset(tmp_path_factory):

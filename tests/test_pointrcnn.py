@@ -121,6 +121,7 @@ class TestPointRCNN:
 
 class TestPointRCNNStage2:
 
+    @pytest.mark.slow
     def test_rcnn_mode_train_and_loss(self):
         from open3d_ml_tpu.models import PointRCNN
         model = PointRCNN(
@@ -163,6 +164,7 @@ class TestPointRCNNStage2:
             jax.tree.map(np.asarray, out_e), {"calib": None})
         assert isinstance(res[0], list)
 
+    @pytest.mark.slow
     def test_freeze_rpn_mask(self):
         from open3d_ml_tpu.models import PointRCNN
         model = PointRCNN(mode="RCNN", npoints=256,
