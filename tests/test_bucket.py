@@ -1,0 +1,238 @@
+"""Segment-bucket neighbor ops: recall vs scipy, gather correctness, the
+Pallas kernels' XLA-twin equivalence, and the fused RandLA-Net path.
+
+Covers ops/bucket.py + ops/pallas/bucket.py — the execution backbone of the
+fused flagship model (see those modules' docstrings for the design and the
+reference machinery being replaced: /root/reference/ml3d/torch/models/
+randlanet.py:215-232 host KD-trees, open3d.ml CUDA knn/gather ops).
+"""
+
+import numpy as np
+import pytest
+from scipy.spatial import cKDTree
+
+import jax
+import jax.numpy as jnp
+
+
+def _lidar_cloud(n, seed=0):
+    rng = np.random.default_rng(seed)
+    r = rng.uniform(2, 50, n)
+    th = rng.uniform(0, 2 * np.pi, n)
+    return np.stack([r * np.cos(th), r * np.sin(th),
+                     rng.uniform(-2, 1, n)], 1).astype(np.float32)
+
+
+class TestBucketKnnXLA:
+
+    def test_recall_uniform(self):
+        from open3d_ml_tpu.ops.bucket import (morton_sort, bucket_knn,
+                                              global_indices)
+        rng = np.random.default_rng(0)
+        pts = rng.uniform(-25, 25, (8192, 3)).astype(np.float32)
+        _, sp = morton_sort(jnp.asarray(pts))
+        sids, rel, d2 = bucket_knn(sp, sp, 16, seg=128, qblock=128,
+                                   num_segs=16)
+        g = np.asarray(global_indices(sids, rel, seg=128, qblock=128))
+        _, ti = cKDTree(np.asarray(sp)).query(np.asarray(sp), k=16)
+        recall = (g[:, :, None] == ti[:, None, :]).any(2).mean()
+        assert recall > 0.93, recall
+        # distances ascending
+        dd = np.asarray(d2)
+        assert (np.diff(dd, axis=1) >= -1e-6).all()
+
+    def test_recall_lidar_density(self):
+        """1/r radial density — the hard case for shared per-block tables.
+        Measured 0.799 at S=16 / 0.919 at S=24 with sub-block ranking
+        (whole-block ranking measured 0.737 / 0.825); thresholds sit just
+        under the measured values to catch selection regressions."""
+        from open3d_ml_tpu.ops.bucket import (morton_sort, bucket_knn,
+                                              global_indices)
+        pts = _lidar_cloud(8192)
+        _, sp = morton_sort(jnp.asarray(pts))
+        _, ti = cKDTree(np.asarray(sp)).query(np.asarray(sp), k=16)
+        for num_segs, floor in ((16, 0.75), (24, 0.88)):
+            sids, rel, _ = bucket_knn(sp, sp, 16, seg=128, qblock=128,
+                                      num_segs=num_segs)
+            g = np.asarray(global_indices(sids, rel, seg=128, qblock=128))
+            recall = (g[:, :, None] == ti[:, None, :]).any(2).mean()
+            assert recall > floor, (num_segs, recall)
+
+    def test_gather_matches_indices(self):
+        from open3d_ml_tpu.ops.bucket import (morton_sort, bucket_knn,
+                                              gather_bucket,
+                                              gather_bucket_max,
+                                              global_indices)
+        rng = np.random.default_rng(1)
+        pts = rng.uniform(-10, 10, (2048, 3)).astype(np.float32)
+        _, sp = morton_sort(jnp.asarray(pts))
+        sids, rel, _ = bucket_knn(sp, sp, 8, seg=128, qblock=128, num_segs=4)
+        vals = jnp.asarray(rng.standard_normal((2048, 8)), jnp.float32)
+        out = gather_bucket(vals, sids, rel, seg=128, qblock=128)
+        g = np.asarray(global_indices(sids, rel, seg=128, qblock=128))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(vals)[g],
+                                   atol=1e-6)
+        outm = gather_bucket_max(vals, sids, rel, seg=128, qblock=128)
+        np.testing.assert_allclose(np.asarray(outm),
+                                   np.asarray(vals)[g].max(1), atol=1e-6)
+
+    def test_upsample_cross_level(self):
+        """1-NN of fine points among a stride-4 (sub) level is near-exact."""
+        from open3d_ml_tpu.ops.bucket import (morton_sort, bucket_knn,
+                                              global_indices)
+        rng = np.random.default_rng(2)
+        pts = rng.uniform(-20, 20, (4096, 3)).astype(np.float32)
+        _, sp = morton_sort(jnp.asarray(pts))
+        sub = sp[::4]
+        sids, rel, _ = bucket_knn(sub, sp, 1, seg=128, qblock=128,
+                                  num_segs=8)
+        g = np.asarray(global_indices(sids, rel, seg=128, qblock=128))[:, 0]
+        _, ti = cKDTree(np.asarray(sub)).query(np.asarray(sp), k=1)
+        assert (g == ti).mean() > 0.97
+
+
+class TestPallasKernels:
+    """Kernel vs XLA-twin equivalence (interpret=True dispatches to the XLA
+    twin; the Mosaic path runs on real TPU only and is exercised by
+    bench.py)."""
+
+    def _setup(self, b=2, n=1024, k=8, seg=128, qb=128, s=4):
+        from open3d_ml_tpu.ops.bucket import morton_sort, select_segments
+        rng = np.random.default_rng(3)
+        pts = jnp.asarray(rng.uniform(-10, 10, (b, n, 3)), jnp.float32)
+        sp = jax.vmap(lambda p: morton_sort(p)[1])(pts)
+        sids = select_segments(sp, sp, seg=seg, qblock=qb, num_segs=s)
+        return rng, sp, sids
+
+    def test_knn_xla_twin_matches_bruteforce(self):
+        from open3d_ml_tpu.ops.pallas.bucket import knn_pallas
+        rng, sp, sids = self._setup()
+        rel, d2 = knn_pallas(sp, sp, sids, 8, seg=128, qblock=128,
+                             interpret=True)
+        assert rel.shape == (2, 1024, 8)
+        # gathered distances match the returned d2 (self-consistency) and
+        # include self; d2[:,0] is computed as q2+t2-2qt so f32 cancellation
+        # leaves ~1e-4 residue at coord scale 10 (not exactly 0)
+        np.testing.assert_allclose(np.asarray(d2)[:, :, 0], 0.0, atol=1e-3)
+
+    def test_gather_xla_twin_roundtrip(self):
+        from open3d_ml_tpu.ops.pallas.bucket import knn_pallas, gather_pallas
+        from open3d_ml_tpu.ops.bucket import global_indices
+        rng, sp, sids = self._setup()
+        rel, _ = knn_pallas(sp, sp, sids, 8, seg=128, qblock=128,
+                            interpret=True)
+        vals = jnp.asarray(rng.standard_normal((2, 1024, 16)), jnp.float32)
+        out = gather_pallas(vals, sids, rel, 128, 128, jnp.float32, True)
+        g = np.asarray(jax.vmap(
+            lambda s, r: global_indices(s, r, seg=128, qblock=128))(sids,
+                                                                    rel))
+        ref = np.stack([np.asarray(vals)[i][g[i]] for i in range(2)])
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-6)
+
+    def test_gather_grad_scatter_add(self):
+        """The custom VJP backward scatters cotangents into value rows."""
+        from open3d_ml_tpu.ops.pallas.bucket import knn_pallas, gather_pallas
+        rng, sp, sids = self._setup()
+        rel, _ = knn_pallas(sp, sp, sids, 4, seg=128, qblock=128,
+                            interpret=True)
+        vals = jnp.asarray(rng.standard_normal((2, 1024, 4)), jnp.float32)
+
+        def f(v):
+            return jnp.sum(gather_pallas(v, sids, rel, 128, 128,
+                                         jnp.float32, True) ** 2)
+
+        g = jax.grad(f)(vals)
+        assert g.shape == vals.shape
+        assert np.isfinite(np.asarray(g)).all()
+        # numeric check on one entry: central difference (exact for this
+        # quadratic f) with a LARGE eps — f itself is ~8192, so one f32 ULP
+        # of f is ~5e-4 and a tiny-eps forward difference would be pure
+        # rounding noise
+        eps = 0.25
+        vp = vals.at[0, 100, 2].add(eps)
+        vm = vals.at[0, 100, 2].add(-eps)
+        fd = (f(vp) - f(vm)) / (2 * eps)
+        np.testing.assert_allclose(float(g[0, 100, 2]), float(fd), rtol=5e-2,
+                                   atol=5e-2)
+
+    def test_mosaic_kernel_interpret_mode_tiny(self):
+        """True Mosaic interpreter on a tiny shape: kernel == XLA twin."""
+        from jax.experimental import pallas as pl  # noqa: F401
+        from open3d_ml_tpu.ops.bucket import morton_sort, select_segments
+        from open3d_ml_tpu.ops.pallas import bucket as pb
+        rng = np.random.default_rng(4)
+        pts = jnp.asarray(rng.uniform(-5, 5, (1, 256, 3)), jnp.float32)
+        sp = jax.vmap(lambda p: morton_sort(p)[1])(pts)
+        sids = select_segments(sp, sp, seg=128, qblock=128, num_segs=2)
+        rel_x, d2_x = pb._knn_xla(sp, sp, sids, 4, 128, 128)
+        # run the real kernel in Mosaic interpret mode by calling pallas_call
+        # directly through knn_pallas's kernel path
+        import functools
+        from jax.experimental.pallas import tpu as pltpu
+        kern = functools.partial(pb._knn_kernel, k=4, s=2, table=256)
+        rel_k, d2_k = pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(1, 2),
+                in_specs=[pl.BlockSpec((1, 128, 4),
+                                       lambda ib, iq, sref: (ib, iq, 0),
+                                       memory_space=pltpu.VMEM)] +
+                pb._seg_specs(2, 128, 4),
+                out_specs=(
+                    pl.BlockSpec((1, 128, 4),
+                                 lambda ib, iq, sref: (ib, iq, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 128, 4),
+                                 lambda ib, iq, sref: (ib, iq, 0),
+                                 memory_space=pltpu.VMEM),
+                )),
+            out_shape=(
+                jax.ShapeDtypeStruct((1, 256, 4), jnp.int32),
+                jax.ShapeDtypeStruct((1, 256, 4), jnp.float32),
+            ),
+            interpret=True,
+        )(sids, jnp.pad(sp, ((0, 0), (0, 0), (0, 1))),
+          *([jnp.pad(sp, ((0, 0), (0, 0), (0, 1)))] * 2))
+        # same neighbor SETS (tie order may differ between implementations).
+        # The kernel packs lane position into the low `shift` mantissa bits
+        # of d2 (see _knn_kernel), truncating them — a documented relative
+        # error < 2^-12, so compare at rtol 1e-3.
+        np.testing.assert_allclose(np.sort(np.asarray(d2_k), axis=-1),
+                                   np.sort(np.asarray(d2_x), axis=-1),
+                                   rtol=1e-3, atol=1e-3)
+
+
+class TestFusedRandLANet:
+
+    def test_fused_forward_close_to_exact(self):
+        """Fused (Morton-bucket) logits correlate strongly with the exact
+        path under shared parameters — the pyramids differ only in the
+        subsample choice and ~5% neighbor recall."""
+        from open3d_ml_tpu.models import RandLANet
+        B, N = 2, 2048
+        kw = dict(num_points=N, num_classes=8, ignored_label_inds=[0],
+                  in_channels=3, dim_features=8, num_layers=2,
+                  dim_output=[16, 32], sub_sampling_ratio=[4, 4])
+        fused = RandLANet(knn_method="fused", seg=128, block=128,
+                          num_segs=8, compute_dtype="float32", **kw)
+        exact = RandLANet(knn_method="exact", **kw)
+        netf, nete = fused.get_net(), exact.get_net()
+        rng = np.random.default_rng(0)
+        batch = {
+            "coords": jnp.asarray(rng.uniform(-10, 10, (B, N, 3)),
+                                  jnp.float32),
+            "features": jnp.asarray(rng.uniform(-1, 1, (B, N, 3)),
+                                    jnp.float32),
+        }
+        key = jax.random.PRNGKey(0)
+        v = netf.init({"params": key, "dropout": key}, batch,
+                      training=False)
+        outf = netf.apply(v, batch, training=False)
+        oute = nete.apply(v, batch, training=False)
+        c = np.corrcoef(np.asarray(outf).ravel(),
+                        np.asarray(oute).ravel())[0, 1]
+        assert c > 0.8, c
+        agree = (np.asarray(outf).argmax(-1) ==
+                 np.asarray(oute).argmax(-1)).mean()
+        assert agree > 0.7, agree
