@@ -25,8 +25,10 @@ class BatchedNet(nn.Module):
             lambda mdl, x: mdl(x, training=training),
             # "p2p_reg": per-deformable-KPConv regularizer terms sown inside
             # the net (one value per sample; summed by regularizer_loss)
+            # "kp_points": KPConv kernel-point dispositions — generated at
+            # init, overwritten by zoo-checkpoint conversion (broadcast)
             variable_axes={"params": None, "batch_stats": None,
-                           "p2p_reg": 0},
+                           "p2p_reg": 0, "kp_points": None},
             split_rngs={"params": False, "dropout": True},
             in_axes=(0,),
             out_axes=0,

@@ -125,9 +125,24 @@ class KPConvOp(nn.Module):
         """q_pts [Nq,3], s_pts [Ns,3], neighb_inds [Nq,K] (sentinel Ns),
         x [Ns,Cin] -> [Nq,Cout]."""
         p = self.num_kernel_points
-        kp = jnp.asarray(
-            kernel_point_lloyd(self.radius, p,
-                               fixed=self.fixed_kernel_points))  # [P,3]
+        # Kernel-point dispositions live in the "kp_points" collection so a
+        # zoo checkpoint's own (randomly optimized) kernel_points buffer can
+        # replace the Lloyd-generated default at conversion time — the
+        # reference stores them as a no-grad Parameter in the state_dict
+        # (kpconv.py:990-1003), and logit parity requires the exact values.
+        def _default_kp():
+            return jnp.asarray(
+                kernel_point_lloyd(self.radius, p,
+                                   fixed=self.fixed_kernel_points),
+                jnp.float32)
+
+        if self.is_initializing() or self.has_variable("kp_points",
+                                                       "points"):
+            kp = self.variable("kp_points", "points", _default_kp).value
+        else:
+            # caller applied without the collection (e.g. plain
+            # {params, batch_stats}): identical Lloyd default, no lookup
+            kp = _default_kp()  # [P,3]
 
         ns = s_pts.shape[0]
         # one fused gather for support coords + features (row gathers are
@@ -402,11 +417,22 @@ class KPFCNNNet(nn.Module):
                 layer -= 1
                 r *= 0.5
                 out_dim = out_dim // 2
+            if bi == 0 and cfg.get("reduce_fc"):
+                # reference kpconv.py:219-220 halves the decoder width once
+                # more after the first decoder block when reduce_fc is set
+                out_dim = out_dim // 2
             dec_i += 1
 
-        x = UnaryBlock(cfg["first_features_dim"], False, 0,
-                       l_relu=cfg["l_relu"], name="head_mlp")(
-            x, training=training)
+        if cfg.get("reduce_fc"):
+            # reference :229-240: BN'd half-width head
+            x = UnaryBlock(cfg["first_features_dim"] // 2,
+                           cfg["use_batch_norm"],
+                           cfg["batch_norm_momentum"], l_relu=cfg["l_relu"],
+                           name="head_mlp")(x, training=training)
+        else:
+            x = UnaryBlock(cfg["first_features_dim"], False, 0,
+                           l_relu=cfg["l_relu"], name="head_mlp")(
+                x, training=training)
         x = UnaryBlock(self.num_classes, False, 0, no_relu=True,
                        l_relu=cfg["l_relu"], name="head_softmax")(
             x, training=training)
@@ -451,6 +477,7 @@ class KPFCNN(BaseModel):
                  num_layers=5,
                  l_relu=0.1,
                  neighborhood_limits=[16, 21, 27, 33, 37],
+                 reduce_fc=False,
                  pyramid_ratio=3,
                  batcher="DefaultBatcher",
                  augment=None,
@@ -476,6 +503,7 @@ class KPFCNN(BaseModel):
             batch_norm_momentum=batch_norm_momentum,
             fixed_kernel_points=fixed_kernel_points, num_layers=num_layers,
             l_relu=l_relu, neighborhood_limits=neighborhood_limits,
+            reduce_fc=reduce_fc,
             pyramid_ratio=pyramid_ratio, batcher=batcher, augment=augment,
             t_normalize=t_normalize, ckpt_path=ckpt_path, **kwargs)
         self.augmenter = SemsegAugmentation(self.cfg.augment, seed=self.rng)
@@ -510,6 +538,7 @@ class KPFCNN(BaseModel):
             "batch_norm_momentum": cfg.batch_norm_momentum,
             "fixed_kernel_points": cfg.fixed_kernel_points,
             "l_relu": cfg.l_relu,
+            "reduce_fc": bool(cfg.get("reduce_fc", False)),
         }
         # flax static fields must be hashable
         from flax.core import FrozenDict

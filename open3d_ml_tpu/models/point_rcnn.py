@@ -324,12 +324,14 @@ class RCNNNet(nn.Module):
         roi -> (cls [...,], reg [C])."""
         xyz = pts_input[:, 0:3]
         xyz_in = pts_input[:, :self.rcnn_input_channel]
-        xyz_feat = SharedMLP2d(tuple(self.xyz_up_layer),
+        # reference builds these with gen_CNN (torch_utils.py:26-45): plain
+        # biased 1x1 conv + ReLU, NO batch norm — bn=False for parity
+        xyz_feat = SharedMLP2d(tuple(self.xyz_up_layer), bn=False,
                                name="xyz_up_layer")(xyz_in,
                                                     training=training)
         rpn_feat = pts_input[:, self.rcnn_input_channel:]
         merged = jnp.concatenate([xyz_feat, rpn_feat], axis=-1)
-        merged = SharedMLP2d((self.xyz_up_layer[-1],),
+        merged = SharedMLP2d((self.xyz_up_layer[-1],), bn=False,
                              name="merge_down_layer")(merged,
                                                       training=training)
 

@@ -51,10 +51,14 @@ class SCBlock(nn.Module):
     """BN -> ReLU -> SubmanifoldConv (plain UNet block, reference
     UNet.block :577-589)."""
     filters: int
+    bn_eps: float = 1e-4
+    bn_momentum: float = 0.99
 
     @nn.compact
     def __call__(self, feat, rulebook, mask, training=False):
-        x = MaskedBatchNorm(name="bn")(feat, mask, training=training)
+        x = MaskedBatchNorm(momentum=self.bn_momentum,
+                            epsilon=self.bn_eps, name="bn")(
+            feat, mask, training=training)
         x = nn.relu(x)
         return SubmanifoldConv(self.filters, name="conv")(x, rulebook, mask)
 
@@ -62,6 +66,8 @@ class SCBlock(nn.Module):
 class ResidualSCBlock(nn.Module):
     """Residual variant (reference ResidualBlock :533-565)."""
     filters: int
+    bn_eps: float = 1e-4
+    bn_momentum: float = 0.99
 
     @nn.compact
     def __call__(self, feat, rulebook, mask, training=False):
@@ -71,10 +77,14 @@ class ResidualSCBlock(nn.Module):
         else:
             shortcut = nn.Dense(self.filters, use_bias=False,
                                 name="lin")(feat)
-        x = MaskedBatchNorm(name="bn1")(feat, mask, training=training)
+        x = MaskedBatchNorm(momentum=self.bn_momentum,
+                            epsilon=self.bn_eps, name="bn1")(
+            feat, mask, training=training)
         x = nn.relu(x)
         x = SubmanifoldConv(self.filters, name="conv1")(x, rulebook, mask)
-        x = MaskedBatchNorm(name="bn2")(x, mask, training=training)
+        x = MaskedBatchNorm(momentum=self.bn_momentum,
+                            epsilon=self.bn_eps, name="bn2")(
+            x, mask, training=training)
         x = nn.relu(x)
         x = SubmanifoldConv(self.filters, name="conv2")(x, rulebook, mask)
         return shortcut + x
@@ -90,6 +100,11 @@ class SparseConvUnetNet(nn.Module):
     residual_blocks: bool = False
     num_levels: int = 7
     max_voxels: int = 20000
+    # reference BatchNormBlock constants (sparseconvnet.py:227-231):
+    # eps=1e-4, torch momentum 0.01 -> flax running-average momentum 0.99.
+    # Matching them exactly is required for zoo-checkpoint logit parity.
+    bn_eps: float = 1e-4
+    bn_momentum: float = 0.99
 
     @nn.compact
     def __call__(self, inputs, training=False):
@@ -130,12 +145,16 @@ class SparseConvUnetNet(nn.Module):
         def u_level(level, feat, coords, mask, rulebook):
             p = planes[level]
             for r in range(self.conv_block_reps):
-                feat = block_cls(p, name=f"l{level}_block{r}")(
+                feat = block_cls(p, bn_eps=self.bn_eps,
+                 bn_momentum=self.bn_momentum,
+                 name=f"l{level}_block{r}")(
                     feat, rulebook, mask, training=training)
             if level == self.num_levels - 1:
                 return feat
             # down: BN-ReLU-Conv(k2 s2)
-            x = MaskedBatchNorm(name=f"l{level}_down_bn")(
+            x = MaskedBatchNorm(momentum=self.bn_momentum,
+                                epsilon=self.bn_eps,
+                                name=f"l{level}_down_bn")(
                 feat, mask, training=training)
             x = nn.relu(x)
             dcap = coords.shape[0]
@@ -160,7 +179,9 @@ class SparseConvUnetNet(nn.Module):
             p_rb = build_rulebook(pcoords, pmask_lvl, offs27)
             x_deep = u_level(level + 1, x_down, pcoords, pmask_lvl, p_rb)
             # up: BN-ReLU-DeConv(k2)
-            y = MaskedBatchNorm(name=f"l{level}_up_bn")(
+            y = MaskedBatchNorm(momentum=self.bn_momentum,
+                                epsilon=self.bn_eps,
+                                name=f"l{level}_up_bn")(
                 x_deep, pmask_lvl, training=training)
             y = nn.relu(y)
             w_up = self.param(
@@ -172,13 +193,17 @@ class SparseConvUnetNet(nn.Module):
             # join skip + up, then post blocks
             z = jnp.concatenate([feat, y_up], axis=-1)
             for r in range(self.conv_block_reps):
-                z = block_cls(p, name=f"l{level}_post{r}")(
+                z = block_cls(p, bn_eps=self.bn_eps,
+              bn_momentum=self.bn_momentum,
+              name=f"l{level}_post{r}")(
                     z, rulebook, mask, training=training)
             return z
 
         feat = u_level(0, feat, coords, mask, rulebook)
 
-        feat = MaskedBatchNorm(name="final_bn")(feat, mask,
+        feat = MaskedBatchNorm(momentum=self.bn_momentum,
+                               epsilon=self.bn_eps,
+                               name="final_bn")(feat, mask,
                                                 training=training)
         feat = nn.relu(feat)
         logits_vox = nn.Dense(self.num_classes, name="linear")(feat)

@@ -42,11 +42,17 @@ log = logging.getLogger(__name__)
 
 @struct.dataclass
 class TrainState:
-    """Replicated training state threaded through the jitted step."""
+    """Replicated training state threaded through the jitted step.
+
+    consts holds non-trainable variable collections beyond batch_stats
+    (e.g. KPConv "kp_points" kernel dispositions) — merged back into the
+    variables dict at every apply, never touched by the optimizer.
+    """
     params: dict
     batch_stats: dict
     opt_state: optax.OptState
     step: jax.Array
+    consts: dict = struct.field(default_factory=FrozenDict)
 
 
 class SemanticSegmentation(BasePipeline):
@@ -104,9 +110,12 @@ class SemanticSegmentation(BasePipeline):
             sample_batch, training=False)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", FrozenDict())
+        consts = FrozenDict({k: v for k, v in variables.items()
+                             if k not in ("params", "batch_stats")})
         opt_state = tx.init(params)
         return TrainState(params=params, batch_stats=batch_stats,
-                          opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+                          opt_state=opt_state, step=jnp.zeros((), jnp.int32),
+                          consts=consts)
 
     def _device_batch(self, batch):
         """Ship the numpy batch to devices, sharded over the data axis."""
@@ -128,7 +137,8 @@ class SemanticSegmentation(BasePipeline):
                 # "p2p_reg" collects per-deformable-conv fitting terms sown
                 # by KPConvOp (absent for every other model)
                 results, updates = net.apply(
-                    {"params": params, "batch_stats": state.batch_stats},
+                    {"params": params, "batch_stats": state.batch_stats,
+                     **state.consts},
                     batch, training=True,
                     mutable=["batch_stats", "p2p_reg"],
                     rngs={"dropout": dropout_key})
@@ -152,7 +162,8 @@ class SemanticSegmentation(BasePipeline):
                 valid if valid is not None else jnp.ones(labels.shape, bool),
                 num_classes)
             new_state = TrainState(params=new_params, batch_stats=new_bs,
-                                   opt_state=new_opt, step=state.step + 1)
+                                   opt_state=new_opt, step=state.step + 1,
+                                   consts=state.consts)
             return new_state, loss, cm
 
         return jax.jit(train_step, donate_argnums=(0,))
@@ -164,7 +175,8 @@ class SemanticSegmentation(BasePipeline):
 
         def eval_step(state, batch):
             results = net.apply(
-                {"params": state.params, "batch_stats": state.batch_stats},
+                {"params": state.params, "batch_stats": state.batch_stats,
+                 **state.consts},
                 batch, training=False)
             loss, labels, scores = model.get_loss(Loss, results, batch)
             cm = confusion_matrix_device(scores, labels,
@@ -177,9 +189,10 @@ class SemanticSegmentation(BasePipeline):
     def _make_infer_fn(self):
         net = self.net
 
-        def infer(params, batch_stats, batch):
-            return net.apply({"params": params, "batch_stats": batch_stats},
-                             batch, training=False)
+        def infer(params, batch_stats, consts, batch):
+            return net.apply(
+                {"params": params, "batch_stats": batch_stats, **consts},
+                batch, training=False)
 
         return jax.jit(infer)
 
@@ -354,7 +367,8 @@ class SemanticSegmentation(BasePipeline):
             batch = batcher.collate_fn(samples)
             dev_batch = self._device_batch(batch)
             results = np.asarray(
-                infer_fn(state.params, state.batch_stats, dev_batch))
+                infer_fn(state.params, state.batch_stats, state.consts,
+                         dev_batch))
 
             for cid in set(cloud_ids):
                 if cid not in test_probs:
@@ -447,6 +461,8 @@ class SemanticSegmentation(BasePipeline):
             "opt_state": jax.device_get(state.opt_state),
             "epoch": epoch,
         }
+        if state.consts:
+            ckpt["consts"] = jax.device_get(state.consts)
         with ocp.PyTreeCheckpointer() as ckptr:
             ckptr.save(path, ckpt, force=True)
         log.info(f"Epoch {epoch:3d}: save ckpt to {path}")
@@ -477,10 +493,12 @@ class SemanticSegmentation(BasePipeline):
         s = self._staged_ckpt
         if s is None:
             return state
+        consts = (replicate(FrozenDict(s["consts"]), self.mesh)
+                  if s.get("consts") else state.consts)
         return TrainState(params=replicate(s["params"], self.mesh),
                           batch_stats=replicate(s["batch_stats"], self.mesh),
                           opt_state=state.opt_state,
-                          step=state.step)
+                          step=state.step, consts=consts)
 
     def _restore_state(self, state, tx):
         s = self._staged_ckpt
@@ -495,7 +513,7 @@ class SemanticSegmentation(BasePipeline):
                 new = TrainState(params=new.params,
                                  batch_stats=new.batch_stats,
                                  opt_state=replicate(opt_state, self.mesh),
-                                 step=new.step)
+                                 step=new.step, consts=new.consts)
             except Exception:
                 log.warning("Could not restore optimizer state; reinit.")
         return new
