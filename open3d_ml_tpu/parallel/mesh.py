@@ -43,8 +43,18 @@ def replicated_sharding(mesh):
 
 
 def shard_batch(batch, mesh):
-    """Device-put a pytree of host arrays with batch-axis sharding."""
+    """Device-put a pytree of host arrays with batch-axis sharding.
+
+    Multi-process: each process passes its LOCAL batch shard (the rows its
+    own data loader produced) and the result is the global sharded array —
+    the single-controller analog of DistributedSampler feeding per-rank
+    loaders (reference object_detection.py:302-306).
+    """
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
