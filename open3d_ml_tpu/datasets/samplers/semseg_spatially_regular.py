@@ -85,7 +85,15 @@ class SemSegSpatiallyRegularSampler:
                 center_id = int(np.argmin(self.possibilities[cid]))
                 center_point = pc[center_id, :].reshape(1, -1)
                 if radius is not None:
-                    idxs = search_tree.query_radius(center_point, r=radius)[0]
+                    # KPConv-style in_radius ball patch; support both tree
+                    # APIs (scipy cKDTree from model.preprocess, sklearn
+                    # KDTree from user code)
+                    if hasattr(search_tree, "query_radius"):  # sklearn
+                        idxs = search_tree.query_radius(center_point,
+                                                        r=radius)[0]
+                    else:  # scipy cKDTree
+                        idxs = np.asarray(search_tree.query_ball_point(
+                            center_point[0], r=radius), dtype=np.int64)
                 elif num_points is not None:
                     if pc.shape[0] < num_points:
                         diff = num_points - pc.shape[0]

@@ -263,7 +263,8 @@ class PVCNN(BaseModel):
     def get_optimizer(self, cfg_pipeline):
         import optax
         from ..modules.schedulers import exponential_lr
-        lr = cfg_pipeline.optimizer.lr
+        opt = dict(cfg_pipeline.get("optimizer") or {})
+        lr = opt.get("lr", cfg_pipeline.get("adam_lr", 1e-2))
         gamma = cfg_pipeline.get("scheduler_gamma", 1.0)
         steps = cfg_pipeline.get("steps_per_epoch", 1)
         schedule = exponential_lr(lr, gamma, steps_per_epoch=steps)
