@@ -52,8 +52,12 @@ class PFNLayer(nn.Module):
         x = nn.BatchNorm(use_running_average=not training, momentum=0.99,
                          epsilon=1e-3, name="norm")(x)
         x = nn.relu(x)
-        x_masked = jnp.where(mask[..., None], x, -1e9)
-        x_max = jnp.max(x_masked, axis=1, keepdims=True)  # [V, 1, units]
+        # Reference semantics (point_pillars.py:440-441): the max runs over
+        # ALL rows including zero-padded ones, whose value is relu(BN(0))
+        # (linear has no bias, padded inputs are zeroed upstream). Zoo
+        # checkpoints are trained with this, so masking pads out of the max
+        # here would break logit parity.
+        x_max = jnp.max(x, axis=1, keepdims=True)  # [V, 1, units]
         x_max = jnp.where(
             jnp.any(mask, axis=1)[:, None, None], x_max, 0.0)
         if self.last_layer:

@@ -1146,3 +1146,182 @@ class TestPointRCNNConversion:
         out = net.apply(conv, batch, training=False,
                         rngs={"dropout": key, "sampling": key})
         assert bool(jnp.isfinite(out["rois"]).all())
+
+
+class TestPointPillarsEndToEndParity:
+    """Full-architecture PointPillars logit parity: a torch mirror with the
+    exact reference layout/semantics (point_pillars.py:385-841 — PFN with
+    pad rows in the max, SECOND/SECONDFPN/head with zoo channel dims) vs
+    this framework's net loaded through convert_pointpillars, from raw
+    points to head logits. Catches voxelize/PFN/scatter/conv-layout drift
+    that the per-block checks missed (VERDICT round-1 item 4)."""
+
+    PC_RANGE = (0.0, -19.2, -3.0, 35.84, 19.2, 1.0)
+    VOXEL = (0.16, 0.16, 4.0)
+    NX, NY = 224, 240  # (35.84-0)/0.16, (19.2+19.2)/0.16 — divisible by 8
+
+    def _torch_mirror(self):
+        import torch
+        import torch.nn as nn
+        torch.manual_seed(0)
+
+        def stage(cin, cout, stride, num):
+            layers = [nn.Conv2d(cin, cout, 3, stride=stride, padding=1,
+                                bias=False),
+                      nn.BatchNorm2d(cout, eps=1e-3), nn.ReLU()]
+            for _ in range(num):
+                layers += [nn.Conv2d(cout, cout, 3, padding=1, bias=False),
+                           nn.BatchNorm2d(cout, eps=1e-3), nn.ReLU()]
+            return nn.Sequential(*layers)
+
+        def deblock(cin, cout, stride):
+            return nn.Sequential(
+                nn.ConvTranspose2d(cin, cout, stride, stride=stride,
+                                   bias=False),
+                nn.BatchNorm2d(cout, eps=1e-3), nn.ReLU())
+
+        class PFN(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.linear = nn.Linear(9, 64, bias=False)
+                self.norm = nn.BatchNorm1d(64, eps=1e-3, momentum=0.01)
+
+            def forward(self, x):  # [V, P, 9]
+                x = self.linear(x)
+                x = self.norm(x.permute(0, 2, 1)).permute(0, 2, 1)
+                x = torch.relu(x)
+                # reference :440-441: max over ALL rows incl. zero pads
+                return torch.max(x, dim=1)[0]
+
+        class Full(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.voxel_encoder = nn.Module()
+                self.voxel_encoder.pfn_layers = nn.ModuleList([PFN()])
+                self.backbone = nn.Module()
+                self.backbone.blocks = nn.ModuleList([
+                    stage(64, 64, 2, 3), stage(64, 128, 2, 5),
+                    stage(128, 256, 2, 5)])
+                self.neck = nn.Module()
+                self.neck.deblocks = nn.ModuleList([
+                    deblock(64, 128, 1), deblock(128, 128, 2),
+                    deblock(256, 128, 4)])
+                self.bbox_head = nn.Module()
+                self.bbox_head.conv_cls = nn.Conv2d(384, 2, 1)
+                self.bbox_head.conv_reg = nn.Conv2d(384, 14, 1)
+                self.bbox_head.conv_dir_cls = nn.Conv2d(384, 4, 1)
+
+            def forward(self, canvas):  # [1, 64, ny, nx]
+                outs = []
+                x = canvas
+                for b in self.backbone.blocks:
+                    x = b(x)
+                    outs.append(x)
+                ups = [d(o) for d, o in zip(self.neck.deblocks, outs)]
+                f = torch.cat(ups, 1)
+                return (self.bbox_head.conv_cls(f),
+                        self.bbox_head.conv_reg(f),
+                        self.bbox_head.conv_dir_cls(f))
+
+        m = Full().eval()
+        import torch
+        with torch.no_grad():
+            for mod in m.modules():
+                if isinstance(mod, (torch.nn.BatchNorm1d,
+                                    torch.nn.BatchNorm2d)):
+                    mod.running_mean.normal_(0, 0.1)
+                    mod.running_var.uniform_(0.5, 1.5)
+        return m
+
+    def _pillarize(self, pts):
+        """Reference voxelize semantics on the host (numpy): group valid
+        points into (ix, iy) pillars, original order, zero-padded."""
+        x0, y0, z0, x1, y1, z1 = self.PC_RANGE
+        vx, vy = self.VOXEL[:2]
+        ok = ((pts[:, 0] >= x0) & (pts[:, 0] < x1) &
+              (pts[:, 1] >= y0) & (pts[:, 1] < y1) &
+              (pts[:, 2] >= z0) & (pts[:, 2] < z1))
+        pv = pts[ok]
+        ix = np.floor((pv[:, 0] - x0) / vx).astype(np.int64)
+        iy = np.floor((pv[:, 1] - y0) / vy).astype(np.int64)
+        order = {}
+        for i, key in enumerate(zip(ix, iy)):
+            order.setdefault(key, []).append(i)
+        P = 32
+        V = len(order)
+        feats = np.zeros((V, P, 4), np.float32)
+        counts = np.zeros((V,), np.int64)
+        coors = np.zeros((V, 2), np.int64)  # (ix, iy)
+        for v, (key, idxs) in enumerate(order.items()):
+            idxs = idxs[:P]
+            feats[v, :len(idxs)] = pv[idxs]
+            counts[v] = len(idxs)
+            coors[v] = key
+        return feats, counts, coors
+
+    @pytest.mark.slow
+    def test_full_logit_parity(self):
+        torch = pytest.importorskip("torch")
+        from open3d_ml_tpu.models import PointPillars
+        from open3d_ml_tpu.utils.convert_torch import convert_pointpillars
+
+        rng = np.random.default_rng(0)
+        n = 3000
+        pts = np.stack([
+            rng.uniform(0.5, 35.0, n), rng.uniform(-19.0, 19.0, n),
+            rng.uniform(-2.8, 0.8, n), rng.uniform(0, 1, n)
+        ], 1).astype(np.float32)
+
+        mirror = self._torch_mirror()
+        feats, counts, coors = self._pillarize(pts)
+
+        # torch path: decorate (reference :523-553) -> PFN -> scatter
+        vx, vy = self.VOXEL[:2]
+        x_off = vx / 2 + self.PC_RANGE[0]
+        y_off = vy / 2 + self.PC_RANGE[1]
+        mean = feats[:, :, :3].sum(1, keepdims=True) / \
+            counts[:, None, None].astype(np.float32)
+        f_cluster = feats[:, :, :3] - mean
+        fx = feats[:, :, 0:1] - (coors[:, 0:1, None] * vx + x_off)
+        fy = feats[:, :, 1:2] - (coors[:, 1:2, None] * vy + y_off)
+        dec = np.concatenate([feats, f_cluster, fx, fy], -1)
+        pmask = (np.arange(32)[None, :] < counts[:, None])
+        dec = dec * pmask[..., None]
+        with torch.no_grad():
+            pf = mirror.voxel_encoder.pfn_layers[0](
+                torch.tensor(dec, dtype=torch.float32))  # [V, 64]
+            canvas = torch.zeros((1, 64, self.NY, self.NX))
+            canvas[0, :, coors[:, 1], coors[:, 0]] = pf.T
+            ref_cls, ref_reg, ref_dir = mirror(canvas)
+
+        model = PointPillars(
+            point_cloud_range=list(self.PC_RANGE),
+            classes=["car"],
+            voxelize={"voxel_size": list(self.VOXEL),
+                      "max_num_points": 32, "max_voxels": [4000, 4000]},
+            voxel_encoder={"feat_channels": [64]},
+            scatter={"output_shape": [self.NY, self.NX]},
+            backbone={"in_channels": 64, "out_channels": [64, 128, 256],
+                      "layer_nums": [3, 5, 5], "layer_strides": [2, 2, 2]},
+            neck={"in_channels": [64, 128, 256],
+                  "out_channels": [128, 128, 128],
+                  "upsample_strides": [1, 2, 4]},
+            head={"ranges": [list(self.PC_RANGE)],
+                  "sizes": [[1.6, 3.9, 1.56]],
+                  "rotations": [0, 1.5707963]})
+        net = model.get_net(training=False)
+        sd = {k: v.numpy() for k, v in mirror.state_dict().items()}
+        variables = convert_pointpillars(sd)
+
+        pad = np.zeros((1, 4096, 4), np.float32)
+        pad[0, :n] = pts
+        batch = {"point": jnp.asarray(pad),
+                 "point_count": jnp.asarray([n], jnp.int32)}
+        cls, reg, dirp = net.apply(variables, batch, training=False)
+
+        for ours, theirs in ((cls, ref_cls), (reg, ref_reg),
+                             (dirp, ref_dir)):
+            o = np.asarray(ours)[0]                       # [H, W, C]
+            t = theirs[0].numpy().transpose(1, 2, 0)      # [H, W, C]
+            assert np.abs(t).max() > 0.05  # meaningful magnitudes
+            np.testing.assert_allclose(o, t, atol=2e-3, rtol=1e-3)
