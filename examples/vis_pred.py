@@ -81,6 +81,9 @@ def main():
     parser.add_argument("--num_points", type=int, default=4096)
     parser.add_argument("--synth_points", type=int, default=20000,
                         help="synthetic cloud size when --path is omitted")
+    parser.add_argument("--models", default="randlanet,kpconv",
+                        help="comma list of models to run (the full KPConv "
+                             "architecture takes minutes to compile on CPU)")
     parser.add_argument("--randlanet_ckpt", default=None)
     parser.add_argument("--kpconv_ckpt", default=None)
     args = parser.parse_args()
@@ -90,27 +93,32 @@ def main():
     names = args.names if args.path else [f"demo{i}"
                                           for i in range(len(clouds))]
 
-    model_r = RandLANet(num_points=args.num_points, num_classes=19,
-                        ignored_label_inds=[0], in_channels=3,
-                        dim_features=8, dim_output=[16, 64, 128, 256],
-                        sub_sampling_ratio=[4, 4, 4, 4])
-    pipe_r = build_pipeline(model_r, args.randlanet_ckpt, "RandLANet")
-    model_k = KPFCNN(num_classes=19, lbl_values=list(range(20)),
-                     ignored_label_inds=[0], num_points=args.num_points,
-                     in_features_dim=2, neighborhood_limits=[12] * 5)
-    pipe_k = build_pipeline(model_k, args.kpconv_ckpt, "KPFCNN")
+    wanted = [m.strip() for m in args.models.split(",") if m.strip()]
+    pipes = {}
+    if "randlanet" in wanted:
+        model_r = RandLANet(num_points=args.num_points, num_classes=19,
+                            ignored_label_inds=[0], in_channels=3,
+                            dim_features=8, dim_output=[16, 64, 128, 256],
+                            sub_sampling_ratio=[4, 4, 4, 4])
+        pipes["randlanet"] = build_pipeline(model_r, args.randlanet_ckpt,
+                                            "RandLANet")
+    if "kpconv" in wanted:
+        model_k = KPFCNN(num_classes=19, lbl_values=list(range(20)),
+                         ignored_label_inds=[0],
+                         num_points=args.num_points,
+                         in_features_dim=2, neighborhood_limits=[12] * 5)
+        pipes["kpconv"] = build_pipeline(model_k, args.kpconv_ckpt,
+                                         "KPFCNN")
 
     vis_points = []
     for name, data in zip(names, clouds):
-        pred_r = pipe_r.run_inference(data)["predict_labels"] + 1
-        pred_k = pipe_k.run_inference(data)["predict_labels"] + 1
-        pred_r[0] = pred_k[0] = 0  # show the "unlabeled" color too
         vis_points.append({"name": name, "points": data["point"],
                            "labels": data["label"]})
-        vis_points.append({"name": name + "_randlanet",
-                           "points": data["point"], "labels": pred_r})
-        vis_points.append({"name": name + "_kpconv",
-                           "points": data["point"], "labels": pred_k})
+        for mname, pipe in pipes.items():
+            pred = pipe.run_inference(data)["predict_labels"] + 1
+            pred[0] = 0  # show the "unlabeled" color too
+            vis_points.append({"name": f"{name}_{mname}",
+                               "points": data["point"], "labels": pred})
 
     lut = LabelLUT({i: str(i) for i in range(20)})
     out = Visualizer().visualize(vis_points, lut=lut, out_dir=args.out_dir)

@@ -227,10 +227,14 @@ class Visualizer:
         return None
 
     def _export(self, out_dir):
-        """Headless backend: write colored PLY files + box linesets."""
+        """Headless backend: colored PLY files, box linesets, and the
+        interactive single-file HTML viewer (html_export.export_html) —
+        dataset browsing/shading/animation without the Open3D GUI."""
         from ..datasets.utils.ply import write_ply
+        from .html_export import export_html
         make_dir(out_dir)
         written = []
+        html_clouds = []
         for name in self._model.data_names:
             pts, colors = self._colorize(name)
             safe = name.replace("/", "_")
@@ -239,6 +243,20 @@ class Visualizer:
             write_ply(path, [pts, rgb],
                       ["x", "y", "z", "red", "green", "blue"])
             written.append(path)
+            shadings = {"labels" if self.lut is not None else "color":
+                        np.clip(colors, 0, 1)}
+            for attr_name in ("feat", "intensity"):
+                attr = self._model.get_attr(name, attr_name)
+                if attr is not None:
+                    a = np.asarray(attr)
+                    a = a if a.ndim == 1 else a[:, 0]
+                    lo, hi = float(a.min()), float(a.max() or 1.0)
+                    cm = Colormap.make_rainbow()
+                    shadings[attr_name] = np.clip(
+                        cm.calc_color_array(a, lo, hi), 0, 1)
+            html_clouds.append({"name": name, "points": pts,
+                                "colors": shadings})
+        html_boxes = []
         for name, boxes in self._model.bounding_box_data.items():
             lines = BoundingBox3D.create_lines(boxes, out_format="dict")
             safe = name.replace("/", "_")
@@ -248,6 +266,14 @@ class Visualizer:
             np.save(join(out_dir, f"{safe}_box_lines.npy"),
                     lines["line_indices"])
             written.append(path)
+            idx = np.asarray(lines["line_indices"]).reshape(-1)
+            cols = lines.get("line_colors")
+            if cols is None:
+                cols = np.full((len(idx) // 2, 3), [1.0, 0.8, 0.2])
+            html_boxes.append({
+                "vertex_positions": np.asarray(v)[idx],
+                "line_colors": np.repeat(np.asarray(cols), 2, axis=0)})
+        written.append(export_html(html_clouds, out_dir, boxes=html_boxes))
         log.info(f"Visualizer: exported {len(written)} files to {out_dir}")
         return written
 
