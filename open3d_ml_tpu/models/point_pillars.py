@@ -38,25 +38,64 @@ from .objdet_helper import (Anchor3DRangeGenerator, BBoxCoder, bbox_overlaps,
 
 
 class PFNLayer(nn.Module):
-    """Pillar Feature Net layer: linear+BN+relu then masked max over the
-    points of each pillar (reference point_pillars.py:385-455)."""
+    """Pillar Feature Net layer: linear+BN+relu then max over the points of
+    each pillar (reference point_pillars.py:385-455).
+
+    Two execution modes over the SAME parameters:
+
+    * voxel-major (``x [V, P, C]`` + ``mask``): the reference's dense
+      layout.
+    * point-major (``x [N, C]`` + ``seg_ids``): the fast TPU path — the
+      linear runs over the N raw points and the pillar pooling is a
+      segment-max, so the [V, P, C] gather (measured 8.5 ms/scan of a
+      19 ms KITTI forward — the single largest cost) never happens and
+      the matmul shrinks from V*P to N rows.
+
+    Reference semantics preserved in both modes (point_pillars.py:440-441):
+    the reference maxes over ALL rows including zero pads, each worth
+    relu(BN(linear(0))) = relu(BN(0)) — zoo checkpoints bake this in, so
+    the point-major mode explicitly folds that pad value into every pillar
+    that has spare capacity.
+    """
     out_channels: int
     last_layer: bool = True
 
     @nn.compact
-    def __call__(self, x, mask, training=False):
-        """x: [V, P, C]; mask: [V, P] valid points."""
+    def __call__(self, x, mask=None, training=False, *, seg_ids=None,
+                 num_segments=None, seg_counts=None, max_pts=None):
         units = self.out_channels if self.last_layer else \
             self.out_channels // 2
+
+        if seg_ids is not None:  # ---- point-major
+            n = x.shape[0]
+            # one extra zero row computes the pad value relu(BN(0)) with
+            # the same module invocation (Dense has no bias)
+            xa = jnp.concatenate([x, jnp.zeros((1, x.shape[-1]), x.dtype)])
+            y = nn.Dense(units, use_bias=False, name="linear")(xa)
+            y = nn.BatchNorm(use_running_average=not training,
+                             momentum=0.99, epsilon=1e-3, name="norm")(y)
+            y = nn.relu(y)
+            pad_val = y[-1]  # [units]
+            y = y[:-1]
+            vmax = jax.ops.segment_max(y, seg_ids,
+                                       num_segments=num_segments + 1,
+                                       indices_are_sorted=False)
+            vmax = vmax[:num_segments]  # [V, units]
+            has_pad = (seg_counts < max_pts)[:, None]
+            vmax = jnp.maximum(vmax, jnp.where(has_pad, pad_val[None, :],
+                                               -jnp.inf))
+            empty = seg_counts <= 0
+            vmax = jnp.where(empty[:, None], 0.0, vmax)
+            if self.last_layer:
+                return vmax
+            rep = vmax[jnp.clip(seg_ids, 0, num_segments - 1)]
+            return jnp.concatenate([y, rep], axis=1)
+
+        # ---- voxel-major (reference layout)
         x = nn.Dense(units, use_bias=False, name="linear")(x)
         x = nn.BatchNorm(use_running_average=not training, momentum=0.99,
                          epsilon=1e-3, name="norm")(x)
         x = nn.relu(x)
-        # Reference semantics (point_pillars.py:440-441): the max runs over
-        # ALL rows including zero-padded ones, whose value is relu(BN(0))
-        # (linear has no bias, padded inputs are zeroed upstream). Zoo
-        # checkpoints are trained with this, so masking pads out of the max
-        # here would break logit parity.
         x_max = jnp.max(x, axis=1, keepdims=True)  # [V, 1, units]
         x_max = jnp.where(
             jnp.any(mask, axis=1)[:, None, None], x_max, 0.0)
@@ -68,24 +107,58 @@ class PFNLayer(nn.Module):
 
 class PillarFeatureNet(nn.Module):
     """Decorate pillar points (cluster + center offsets) and run PFN layers
-    (reference :456-556)."""
+    (reference :456-556). Voxel-major ([V, P, 4] gathered pillars) and
+    point-major ([N, 4] raw points + per-point voxel ids) modes share one
+    parameter tree — see PFNLayer."""
     feat_channels: tuple = (64,)
     voxel_size: tuple = (0.16, 0.16, 4)
     point_cloud_range: tuple = (0, -40.0, -3, 70.0, 40.0, 1)
+    max_pts: int = 32  # max points per pillar (pad-value fold threshold)
 
     @nn.compact
-    def __call__(self, features, counts, coors, mask, training=False):
-        """features: [V, P, 4] (xyz+refl, zero-padded), counts: [V],
-        coors: [V, 3] int (x,y,z), mask: [V, P]."""
+    def __call__(self, features, counts, coors=None, mask=None,
+                 training=False, *, point_to_voxel=None, num_voxels=None):
+        vx, vy = self.voxel_size[0], self.voxel_size[1]
+        x_offset = vx / 2 + self.point_cloud_range[0]
+        y_offset = vy / 2 + self.point_cloud_range[1]
+
+        if point_to_voxel is not None:  # ---- point-major
+            # features [N, 4] raw points; counts [V]; point_to_voxel [N]
+            # (sentinel num_voxels for dropped points)
+            seg = point_to_voxel
+            valid = seg < num_voxels
+            xyz = features[:, :3]
+            sums = jax.ops.segment_sum(
+                jnp.where(valid[:, None], xyz, 0.0), seg,
+                num_segments=num_voxels + 1)[:num_voxels]
+            means = sums / jnp.maximum(counts, 1).astype(
+                features.dtype)[:, None]  # [V, 3]
+            f_cluster = xyz - means[jnp.clip(seg, 0, num_voxels - 1)]
+            # pillar center from the point's own quantized cell — no gather
+            x0, y0 = self.point_cloud_range[0], self.point_cloud_range[1]
+            fx = features[:, 0:1] - (
+                jnp.floor((features[:, 0:1] - x0) / vx) * vx + x_offset)
+            fy = features[:, 1:2] - (
+                jnp.floor((features[:, 1:2] - y0) / vy) * vy + y_offset)
+            feats = jnp.concatenate([features, f_cluster, fx, fy], axis=-1)
+            feats = jnp.where(valid[:, None], feats, 0.0)
+            seg_s = jnp.where(valid, seg, num_voxels)
+            for i, ch in enumerate(self.feat_channels):
+                feats = PFNLayer(
+                    ch, last_layer=(i == len(self.feat_channels) - 1),
+                    name=f"pfn_{i}")(
+                        feats, training=training, seg_ids=seg_s,
+                        num_segments=num_voxels, seg_counts=counts,
+                        max_pts=self.max_pts)
+            return feats  # [V, C]
+
+        # ---- voxel-major (reference layout)
         n = jnp.maximum(counts, 1).astype(features.dtype)[:, None, None]
         points_mean = jnp.sum(
             jnp.where(mask[..., None], features[:, :, :3], 0.0),
             axis=1, keepdims=True) / n
         f_cluster = features[:, :, :3] - points_mean
 
-        vx, vy = self.voxel_size[0], self.voxel_size[1]
-        x_offset = vx / 2 + self.point_cloud_range[0]
-        y_offset = vy / 2 + self.point_cloud_range[1]
         fx = features[:, :, 0:1] - (
             coors[:, 0].astype(features.dtype)[:, None, None] * vx +
             x_offset)
@@ -104,26 +177,34 @@ class PillarFeatureNet(nn.Module):
 
 
 class SECOND(nn.Module):
-    """Multi-stage BEV conv backbone (reference :619-684). NHWC layout."""
+    """Multi-stage BEV conv backbone (reference :619-684). NHWC layout.
+
+    compute_dtype=bfloat16 runs the convs on the MXU at double rate (the
+    TPU-idiomatic inference setting); BatchNorm stays in float32.
+    """
     in_channels: int = 64
     out_channels: tuple = (64, 128, 256)
     layer_nums: tuple = (3, 5, 5)
     layer_strides: tuple = (2, 2, 2)
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, training=False):
+        cdt = jnp.dtype(self.compute_dtype)
         outs = []
         for i, num in enumerate(self.layer_nums):
             x = nn.Conv(self.out_channels[i], (3, 3),
                         strides=self.layer_strides[i], padding=1,
-                        use_bias=False, name=f"block{i}_conv0")(x)
+                        use_bias=False, dtype=cdt,
+                        name=f"block{i}_conv0")(x)
             x = nn.BatchNorm(use_running_average=not training,
                              momentum=0.99, epsilon=1e-3,
                              name=f"block{i}_bn0")(x)
             x = nn.relu(x)
             for j in range(num):
                 x = nn.Conv(self.out_channels[i], (3, 3), padding=1,
-                            use_bias=False, name=f"block{i}_conv{j+1}")(x)
+                            use_bias=False, dtype=cdt,
+                            name=f"block{i}_conv{j+1}")(x)
                 x = nn.BatchNorm(use_running_average=not training,
                                  momentum=0.99, epsilon=1e-3,
                                  name=f"block{i}_bn{j+1}")(x)
@@ -138,21 +219,24 @@ class SECONDFPN(nn.Module):
     out_channels: tuple = (128, 128, 128)
     upsample_strides: tuple = (1, 2, 4)
     use_conv_for_no_stride: bool = False
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, xs, training=False):
+        cdt = jnp.dtype(self.compute_dtype)
         ups = []
         for i, (x, stride) in enumerate(zip(xs, self.upsample_strides)):
             if stride > 1 or (stride == 1 and
                               not self.use_conv_for_no_stride):
                 x = nn.ConvTranspose(self.out_channels[i], (stride, stride),
                                      strides=(stride, stride),
-                                     use_bias=False,
+                                     use_bias=False, dtype=cdt,
                                      name=f"deblock{i}_up")(x)
             else:
                 s = int(np.round(1 / stride))
                 x = nn.Conv(self.out_channels[i], (s, s), strides=s,
-                            use_bias=False, name=f"deblock{i}_conv")(x)
+                            use_bias=False, dtype=cdt,
+                            name=f"deblock{i}_conv")(x)
             x = nn.BatchNorm(use_running_average=not training, momentum=0.99,
                              epsilon=1e-3, name=f"deblock{i}_bn")(x)
             x = nn.relu(x)
@@ -178,6 +262,10 @@ class PointPillarsNet(nn.Module):
     backbone: dict
     neck: dict
     head: dict
+    # bf16 BEV stack: the idiomatic TPU inference setting (2x MXU rate);
+    # BatchNorm and the decode path stay float32. float32 for bit-parity
+    # work (the conversion tests pin it).
+    compute_dtype: str = "bfloat16"
 
     @nn.compact
     def __call__(self, inputs, training=False):
@@ -194,28 +282,31 @@ class PointPillarsNet(nn.Module):
             vd = voxelize(pts[:, :3], vsize, pc_range[:3], pc_range[3:],
                           self.max_voxels, self.max_num_points,
                           points_mask=mask)
-            feats = pts[vd.point_indices]  # [V, P, 4]
-            feats = jnp.where(vd.point_mask[..., None], feats, 0.0)
-            return (feats, vd.num_points_per_voxel, vd.coords,
-                    vd.point_mask, vd.voxel_mask)
+            return (vd.point_to_voxel, vd.num_points_per_voxel, vd.coords,
+                    vd.voxel_mask)
 
-        feats, counts_v, coors, ptmask, vmask = jax.vmap(voxelize_one)(
-            points, pmask)
+        p2v, counts_v, coors, vmask = jax.vmap(voxelize_one)(points, pmask)
 
-        # PFN over flattened (B*V) pillars
-        bv = b * self.max_voxels
+        # Point-major PFN over the flattened (B*N) points: the per-pillar
+        # [V, P, 4] gather (the profile's single largest cost, ~8.5 of
+        # 19 ms/scan) never materializes — pooling is a segment-max over
+        # per-batch-offset voxel ids.
+        mv = self.max_voxels
+        bv = b * mv
+        seg = jnp.where(p2v < mv, p2v + jnp.arange(b)[:, None] * mv, bv)
         pfn = PillarFeatureNet(feat_channels=tuple(self.feat_channels),
                                voxel_size=vsize,
                                point_cloud_range=pc_range,
+                               max_pts=self.max_num_points,
                                name="voxel_encoder")
         pillar_feats = pfn(
-            feats.reshape(bv, self.max_num_points, -1),
+            points.reshape(b * p, -1),
             counts_v.reshape(bv),
-            coors.reshape(bv, 3),
-            ptmask.reshape(bv, self.max_num_points),
-            training=training)  # [B*V, C]
+            training=training,
+            point_to_voxel=seg.reshape(b * p),
+            num_voxels=bv)  # [B*V, C]
         c = pillar_feats.shape[-1]
-        pillar_feats = pillar_feats.reshape(b, self.max_voxels, c)
+        pillar_feats = pillar_feats.reshape(b, mv, c)
 
         # scatter to BEV canvas [B, ny, nx, C]
         def scatter_one(pf, co, vm):
@@ -226,9 +317,10 @@ class PointPillarsNet(nn.Module):
 
         canvas = jax.vmap(scatter_one)(pillar_feats, coors, vmask)
 
-        xs = SECOND(**self.backbone, name="backbone")(canvas,
-                                                      training=training)
-        feat = SECONDFPN(**self.neck, name="neck")(xs, training=training)
+        xs = SECOND(**self.backbone, compute_dtype=self.compute_dtype,
+                    name="backbone")(canvas, training=training)
+        feat = SECONDFPN(**self.neck, compute_dtype=self.compute_dtype,
+                         name="neck")(xs, training=training)
 
         num_classes = len(self.classes)
         head_cfg = dict(self.head)
@@ -322,7 +414,8 @@ class PointPillars(ObjdetBaseModel):
                       for k, v in dict(cfg.backbone or {}).items()},
             neck={k: tuple(v) if isinstance(v, list) else v
                   for k, v in dict(cfg.neck or {}).items()},
-            head=dict(cfg.head or {}))
+            head=dict(cfg.head or {}),
+            compute_dtype=cfg.get("compute_dtype", "bfloat16"))
 
     # ------------------------------------------------------------- host side
 

@@ -36,6 +36,11 @@ class VoxelData(NamedTuple):
     num_points_per_voxel: jax.Array
     voxel_mask: jax.Array
     num_voxels: jax.Array
+    # [N] int32: voxel slot of each INPUT point (original order), sentinel
+    # max_voxels for dropped points (out of range / beyond either cap).
+    # Enables point-major consumers (segment ops over points) that never
+    # materialize the [max_voxels, max_points] gather.
+    point_to_voxel: jax.Array
 
 
 def voxelize(points, voxel_size, points_range_min, points_range_max,
@@ -121,8 +126,13 @@ def voxelize(points, voxel_size, points_range_min, points_range_max,
         sorted_coords.astype(jnp.int32), mode="drop")
     # (every point in a run has identical coords, so last-write-wins is fine)
 
+    # Per-point voxel slot in ORIGINAL point order (rank_s is aligned with
+    # the sorted order; order[i] is sorted position i's original index).
+    point_to_voxel = jnp.full((n,), max_voxels, jnp.int32)
+    point_to_voxel = point_to_voxel.at[order].set(rank_s, mode="drop")
+
     return VoxelData(vox_coords, point_indices, point_mask, counts,
-                     voxel_mask, num_voxels)
+                     voxel_mask, num_voxels, point_to_voxel)
 
 
 def gather_voxel_points(points, voxel_data, fill_value=0.0):

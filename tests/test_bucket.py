@@ -23,6 +23,7 @@ def _lidar_cloud(n, seed=0):
                      rng.uniform(-2, 1, n)], 1).astype(np.float32)
 
 
+@pytest.mark.slow
 class TestBucketKnnXLA:
 
     def test_recall_uniform(self):
@@ -203,6 +204,7 @@ class TestPallasKernels:
                                    rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 class TestFusedRandLANet:
 
     def test_fused_forward_close_to_exact(self):

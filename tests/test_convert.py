@@ -307,6 +307,7 @@ class TestPointPillarsConversion:
                                    expected[:, 0, :], atol=2e-5)
 
 
+@pytest.mark.slow
 class TestRandLANetEndToEndParity:
     """Full-architecture logit parity: a torch mirror of the reference
     RandLANet (exact zoo state_dict layout, reference math re-written from
@@ -546,6 +547,7 @@ class TestRandLANetEndToEndParity:
         assert np.abs(ref).max() > 1.0
 
 
+@pytest.mark.slow
 class TestKPFCNNConversion:
     """convert_kpfcnn: tree/shape match vs net.init for the full block walk
     (rigid + deformable), checkpoint kernel_points landing in "kp_points",
@@ -719,6 +721,7 @@ class TestKPFCNNConversion:
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 class TestSparseConvUnetConversion:
     """convert_sparseconvunet: tree/shape match vs net.init for the
     recursive U walk (plain + residual blocks), generated with an
@@ -820,6 +823,7 @@ class TestSparseConvUnetConversion:
         assert bool(jnp.isfinite(out).all())
 
 
+@pytest.mark.slow
 class TestPointTransformerConversion:
     """convert_pointtransformer: tree/shape match vs net.init, state dict
     generated with an independent mirror of the reference construction
@@ -926,6 +930,7 @@ class TestPointTransformerConversion:
         assert bool(jnp.isfinite(out).all())
 
 
+@pytest.mark.slow
 class TestPVCNNConversion:
     """convert_pvcnn: tree/shape match vs net.init, state dict generated
     with an independent mirror of the reference factories
@@ -1297,6 +1302,7 @@ class TestPointPillarsEndToEndParity:
         model = PointPillars(
             point_cloud_range=list(self.PC_RANGE),
             classes=["car"],
+            compute_dtype="float32",  # bit-parity needs the f32 BEV stack
             voxelize={"voxel_size": list(self.VOXEL),
                       "max_num_points": 32, "max_voxels": [4000, 4000]},
             voxel_encoder={"feat_channels": [64]},
