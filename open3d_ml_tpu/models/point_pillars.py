@@ -308,14 +308,18 @@ class PointPillarsNet(nn.Module):
         c = pillar_feats.shape[-1]
         pillar_feats = pillar_feats.reshape(b, mv, c)
 
-        # scatter to BEV canvas [B, ny, nx, C]
-        def scatter_one(pf, co, vm):
-            y = jnp.where(vm, co[:, 1], ny)
-            x = jnp.where(vm, co[:, 0], nx)
-            canvas = jnp.zeros((ny, nx, c), pf.dtype)
-            return canvas.at[y, x].set(pf, mode="drop")
-
-        canvas = jax.vmap(scatter_one)(pillar_feats, coors, vmask)
+        # Build the BEV canvas [B, ny, nx, C]. Voxelize emits slots in
+        # ascending linearized-key order and the pillar key IS the canvas
+        # cell (single z bin, x-fastest linearization), so each cell can
+        # fetch its pillar with searchsorted + one row gather — ~5x faster
+        # than XLA's random scatter at the KITTI config (ops/bev.py).
+        from ..ops.bev import bev_scatter_sorted
+        cells = jnp.where(
+            vmask, coors[..., 1] * nx + coors[..., 0],
+            ny * nx + jnp.arange(mv, dtype=jnp.int32)[None, :])
+        canvas = bev_scatter_sorted(pillar_feats, cells.astype(jnp.int32),
+                                    ny * nx)
+        canvas = canvas.reshape(b, ny, nx, c)
 
         xs = SECOND(**self.backbone, compute_dtype=self.compute_dtype,
                     name="backbone")(canvas, training=training)
