@@ -78,6 +78,7 @@ def _make_torch_state_dict(rng):
 
 class TestRandLANetConversion:
 
+    @pytest.mark.slow
     def test_converted_tree_matches_init(self):
         from open3d_ml_tpu.models import RandLANet
         from open3d_ml_tpu.utils.convert_torch import convert_randlanet
@@ -134,6 +135,7 @@ class TestRandLANetConversion:
         ours = x @ dense["kernel"] + dense["bias"]
         np.testing.assert_allclose(ours, torch_out, atol=1e-5)
 
+@pytest.mark.slow
 class TestPointPillarsConversion:
     """convert_pointpillars vs real torch modules shaped like the reference
     (point_pillars.py:385-803): numerics must match in eval mode."""

@@ -2,6 +2,7 @@
 (reference analog: openvino_model.py / ONNX export)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -28,6 +29,7 @@ class TestStableHLO:
         np.testing.assert_allclose(np.asarray(out), np.asarray(fn(x, y)),
                                    rtol=1e-6)
 
+    @pytest.mark.slow
     def test_export_model_flow(self, tmp_path):
         from open3d_ml_tpu.export import export_model
         from open3d_ml_tpu.models import RandLANet

@@ -35,6 +35,7 @@ class TestKernelPoints:
         np.testing.assert_array_equal(kp, kp2)
 
 
+@pytest.mark.slow
 class TestKPFCNN:
 
     @pytest.fixture(scope="class")
@@ -90,6 +91,7 @@ class TestKPFCNN:
         assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 class TestDeformable:
     """Deformable KPConv: offsets, p2p fitting regularizer, deform lr.
 

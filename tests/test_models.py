@@ -12,10 +12,12 @@ from open3d_ml_tpu.models import RandLANet
 
 @pytest.fixture(scope="module")
 def randlanet_small():
+    # 2 pyramid levels + jitted init: the 4-level fixture with eager init
+    # cost ~70s of CPU compile per module run (fast-suite budget)
     model = RandLANet(num_points=512, num_classes=7, ignored_label_inds=[0],
-                      in_channels=3, dim_features=8,
-                      dim_output=[16, 32, 64, 128],
-                      sub_sampling_ratio=[4, 4, 4, 4])
+                      in_channels=3, dim_features=8, num_layers=2,
+                      dim_output=[16, 32],
+                      sub_sampling_ratio=[4, 4])
     net = model.get_net()
     rng = np.random.default_rng(0)
     batch = {
@@ -25,8 +27,9 @@ def randlanet_small():
         "labels": jnp.asarray(rng.integers(0, 7, (2, 512)), jnp.int32),
     }
     key = jax.random.PRNGKey(0)
-    variables = net.init({"params": key, "dropout": key}, batch,
-                         training=False)
+    variables = jax.jit(
+        lambda b: net.init({"params": key, "dropout": key}, b,
+                           training=False))(batch)
     return model, net, batch, variables
 
 
@@ -52,6 +55,7 @@ class TestRandLANet:
             for a, b in zip(old, new))
         assert changed
 
+    @pytest.mark.slow
     def test_loss_and_grads_finite(self, randlanet_small):
         model, net, batch, variables = randlanet_small
 
@@ -111,6 +115,7 @@ class TestRandLANet:
         assert out["labels"].shape == (256,)
 
 
+@pytest.mark.slow
 class TestCompiledModel:
     """AOT wrapper (models/compiled_model.py), the OpenVINO-backend analog
     (reference openvino_model.py:17-143)."""
@@ -148,6 +153,7 @@ class TestCompiledModel:
         assert wrapped.name == model.name
 
 
+@pytest.mark.slow
 class TestRandLANetWindowKNN:
     """RandLA-Net end to end with the Morton-window neighbor method."""
 

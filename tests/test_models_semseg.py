@@ -79,6 +79,7 @@ class TestSparseOps:
             assert oidx[i] == (rem[2] * 2 + rem[1]) * 2 + rem[0]
 
 
+@pytest.mark.slow
 class TestPointTransformer:
 
     def test_forward_and_loss(self, rng):
@@ -100,6 +101,7 @@ class TestPointTransformer:
         assert bool(jnp.isfinite(out).all())
 
 
+@pytest.mark.slow
 class TestPVCNN:
 
     def test_forward(self, rng):
@@ -132,6 +134,7 @@ class TestPVCNN:
         assert out["feat"].shape == (256, 9)
 
 
+@pytest.mark.slow
 class TestSparseConvUnet:
 
     def test_forward_train(self, rng):

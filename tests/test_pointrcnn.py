@@ -7,6 +7,7 @@ import jax
 import jax.numpy as jnp
 
 
+@pytest.mark.slow
 class TestPointnet2:
 
     def test_sa_module(self):
@@ -42,6 +43,7 @@ class TestPointnet2:
         assert feats.shape == (512, 128)
 
 
+@pytest.mark.slow
 class TestPointRCNN:
 
     @pytest.fixture(scope="class")
@@ -189,6 +191,7 @@ class TestPointRCNNStage2:
         assert rcnn_flags and all(rcnn_flags)
 
 
+@pytest.mark.slow
 class TestRoiJitterAug:
     """aug_roi_by_noise: batched rework of the reference's per-roi
     rejection-sampling jitter (point_rcnn.py:1553-1617)."""
