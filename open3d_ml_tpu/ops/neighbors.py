@@ -74,6 +74,15 @@ def knn_search(points, queries, k, *, points_mask=None, exact=True,
     n = points.shape[0]
     k = min(k, n)
 
+    # Exact path on a real TPU: the Pallas running-best-list kernel keeps
+    # the whole point set in VMEM and replaces lax.top_k's sort with K
+    # min-extraction rounds (ops/pallas/knn.py). The XLA formulation below
+    # remains the CPU/fallback twin with identical contract.
+    if (exact and k > 1 and points.ndim == 2 and points.shape[-1] == 3 and
+            n <= 200_000 and jax.default_backend() == "tpu"):
+        from .pallas.knn import knn_pallas
+        return knn_pallas(points, queries, k, points_mask=points_mask)
+
     def one_chunk(qc):
         d2 = _pairwise_dist2(qc, points)
         if points_mask is not None:
