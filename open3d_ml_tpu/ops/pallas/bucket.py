@@ -36,9 +36,14 @@ _BIG = 1e30
 
 def _seg_specs(s, seg, width):
     """S BlockSpecs that each select one segment row-block of the values
-    array, driven by the scalar-prefetched seg_ids[b, q, j]."""
+    array, driven by the scalar-prefetched seg_ids.
+
+    seg_ids are shipped FLATTENED to [B, nqb*S]: a trailing S axis would be
+    padded to the SMEM lane width (8-16x waste) and can blow the 1 MB
+    scalar-prefetch budget at small seg/qblock configs. iq*S+j is static
+    grid-index arithmetic, which index maps allow."""
     def imap(ib, iq, sref, j):
-        return (ib, sref[ib, iq, j], 0)
+        return (ib, sref[ib, iq * s + j], 0)
     return [
         pl.BlockSpec((1, seg, width), functools.partial(imap, j=j),
                      memory_space=pltpu.VMEM) for j in range(s)
@@ -169,6 +174,7 @@ def knn_pallas(points, queries, seg_ids, k, *, seg=128, qblock=128,
                      constant_values=2e9)
 
     kern = functools.partial(_knn_kernel, k=k, s=s, table=table)
+    seg_ids_flat = seg_ids.reshape(b, nqb * s)
     rel, d2 = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -191,7 +197,7 @@ def knn_pallas(points, queries, seg_ids, k, *, seg=128, qblock=128,
             jax.ShapeDtypeStruct((b, q + qpad, k), jnp.float32),
         ),
         interpret=interpret,
-    )(seg_ids, qs, *([pts] * s))
+    )(seg_ids_flat, qs, *([pts] * s))
     return rel[:, :q], d2[:, :q]
 
 
@@ -249,6 +255,7 @@ def _gather_fwd_impl(values, seg_ids, rel, seg, qblock, compute_dtype,
 
     kern = functools.partial(_gather_kernel, k=k, s=s, c=c,
                              compute_dtype=compute_dtype)
+    seg_ids_flat = seg_ids.reshape(b, nqb * s)
     out = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -263,7 +270,7 @@ def _gather_fwd_impl(values, seg_ids, rel, seg, qblock, compute_dtype,
                                    memory_space=pltpu.VMEM)),
         out_shape=jax.ShapeDtypeStruct((b, q + qpad, k * c), jnp.float32),
         interpret=interpret,
-    )(seg_ids, relp, *([values] * s))
+    )(seg_ids_flat, relp, *([values] * s))
     return out[:, :q].reshape(b, q, k, c)
 
 

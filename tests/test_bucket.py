@@ -193,7 +193,8 @@ class TestPallasKernels:
                 jax.ShapeDtypeStruct((1, 256, 4), jnp.float32),
             ),
             interpret=True,
-        )(sids, jnp.pad(sp, ((0, 0), (0, 0), (0, 1))),
+        )(sids.reshape(1, -1),  # flattened [B, nqb*S] prefetch layout
+          jnp.pad(sp, ((0, 0), (0, 0), (0, 1))),
           *([jnp.pad(sp, ((0, 0), (0, 0), (0, 1)))] * 2))
         # same neighbor SETS (tie order may differ between implementations).
         # The kernel packs lane position into the low `shift` mantissa bits
