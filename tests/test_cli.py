@@ -151,3 +151,36 @@ class TestExperimentConfigs:
             get_module("pipeline", p["name"])
             d = cfg.dataset.to_dict()
             get_module("dataset", d["name"])
+
+
+@pytest.mark.slow
+def test_convert_checkpoint_cli(tmp_path):
+    """scripts/convert_checkpoint.py: synthetic zoo .pth -> orbax ckpt in
+    the pipelines' resume layout."""
+    import subprocess
+    import sys
+    from os.path import dirname, join
+
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, join(dirname(__file__)))
+    from test_convert import _make_torch_state_dict
+
+    rng = np.random.default_rng(0)
+    sd = _make_torch_state_dict(rng)
+    pth = tmp_path / "randlanet.pth"
+    torch.save({"model_state_dict": sd}, str(pth))
+
+    script = join(dirname(dirname(__file__)), "scripts",
+                  "convert_checkpoint.py")
+    out = tmp_path / "ckpt_00000"
+    r = subprocess.run([sys.executable, script, str(pth), str(out),
+                        "--model", "RandLANet"],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert out.exists()
+
+    import orbax.checkpoint as ocp
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(str(out))
+    assert set(restored) >= {"params", "batch_stats", "epoch"}
+    assert "fc0" in restored["params"]["net"]
