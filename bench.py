@@ -102,6 +102,74 @@ def bench_randlanet():
     return batch_size * num_points * iters / dt
 
 
+def bench_randlanet_train():
+    """RandLA-Net TRAIN-step points/sec (forward + grads + adam, chained).
+
+    The reference flow being measured: semantic_segmentation.py:403-437
+    (forward/loss/backward/step), here as one jitted step with the
+    on-device pyramid shared by value_and_grad.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from open3d_ml_tpu.models import RandLANet
+
+    batch_size = 4
+    num_points = 45056
+    model = RandLANet(num_points=num_points, num_classes=19,
+                      ignored_label_inds=[0], in_channels=3, dim_features=8,
+                      dim_output=[16, 64, 128, 256],
+                      sub_sampling_ratio=[4, 4, 4, 4])
+    net = model.get_net()
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "coords": jnp.asarray(
+            rng.uniform(-25, 25, (batch_size, num_points, 3)), jnp.float32),
+        "features": jnp.asarray(
+            rng.uniform(-25, 25, (batch_size, num_points, 3)), jnp.float32),
+        "labels": jnp.asarray(
+            rng.integers(1, 19, (batch_size, num_points)), jnp.int32),
+    }
+    key = jax.random.PRNGKey(0)
+    variables = jax.jit(
+        lambda b: net.init({"params": key, "dropout": key}, b,
+                           training=True))(batch)
+    params = variables["params"]
+    bs0 = variables.get("batch_stats", {})
+    tx = optax.adam(1e-3)
+    opt0 = tx.init(params)
+
+    def loss_fn(p, bstats, b):
+        out, upd = net.apply({"params": p, "batch_stats": bstats}, b,
+                             training=True, mutable=["batch_stats"],
+                             rngs={"dropout": key})
+        logits = out.reshape(-1, 19)
+        labels = b["labels"].reshape(-1)
+        lp = jnp.take_along_axis(jax.nn.log_softmax(logits, -1),
+                                 labels[:, None], -1)[:, 0]
+        return -jnp.mean(lp), upd["batch_stats"]
+
+    iters = 10
+
+    @jax.jit
+    def run(p, bstats, opt, b):
+        def body(_, st):
+            p, bstats, opt = st
+            (loss, new_bs), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(p, bstats, b)
+            updates, opt = tx.update(grads, opt, p)
+            return optax.apply_updates(p, updates), new_bs, opt
+        p, bstats, opt = jax.lax.fori_loop(0, iters, body, (p, bstats, opt))
+        return jnp.sum(jax.tree.leaves(p)[0].astype(jnp.float32))
+
+    float(run(params, bs0, opt0, batch))  # warmup + compile
+    t0 = time.perf_counter()
+    float(run(params, bs0, opt0, batch))
+    dt = time.perf_counter() - t0
+    return batch_size * num_points * iters / dt
+
+
 def bench_pointpillars():
     """PointPillars KITTI-config scans/sec (end-to-end on-device forward).
 
@@ -188,6 +256,16 @@ def main():
             sps / REFERENCE_PP_SCANS_PER_SEC, 3)
     except Exception:  # noqa: BLE001 - secondary metric must not kill run
         record["pointpillars_error"] = traceback.format_exc(limit=2)[-400:]
+
+    # opt-in: the train-step compile (grad of the fused pyramid at full
+    # size) adds minutes of XLA compile — too slow for the default record
+    import os
+    if os.environ.get("BENCH_TRAIN"):
+        try:
+            tps = bench_randlanet_train()
+            record["randlanet_train_points_per_sec"] = round(tps, 1)
+        except Exception:  # noqa: BLE001 - must not kill the run
+            record["train_error"] = traceback.format_exc(limit=2)[-400:]
 
     print(json.dumps(record))
 
