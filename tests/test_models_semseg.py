@@ -189,3 +189,61 @@ class TestSparseConvUnet:
                         mutable=["batch_stats"])
         np.testing.assert_allclose(np.asarray(y1)[:60], np.asarray(y2)[:60],
                                    atol=1e-4)
+
+
+@pytest.mark.slow
+class TestSparseConvUnetLearns:
+
+    def test_overfit_tiny(self, rng):
+        """40 adam steps on one tiny batch cut the loss by >35% — exercises
+        rulebook construction, masked BN batch statistics and devoxelize
+        gradients end to end (the machinery a forward-shape test can't
+        validate)."""
+        import optax
+        from open3d_ml_tpu.models import SparseConvUnet
+
+        model = SparseConvUnet(multiplier=4, num_levels=3, in_channels=3,
+                               num_classes=4, max_voxels=512,
+                               num_points=256)
+        net = model.get_net()
+        pts = rng.uniform(0, 20, (1, 256, 3)).astype(np.float32)
+        batch = {
+            "point": jnp.asarray(pts),
+            "feat": jnp.asarray(rng.standard_normal((1, 256, 3)),
+                                jnp.float32),
+            "point_mask": jnp.ones((1, 256), bool),
+        }
+        # labels correlated with position so the net can actually fit them
+        labels = jnp.asarray(
+            np.digitize(pts[0, :, 0], [5.0, 10.0, 15.0])[None, :],
+            jnp.int32)
+
+        key = jax.random.PRNGKey(0)
+        variables = net.init({"params": key}, batch, training=True)
+        params = variables["params"]
+        bstats = variables.get("batch_stats", {})
+        tx = optax.adam(5e-3)
+        opt = tx.init(params)
+
+        def loss_fn(p, bs, b):
+            out, upd = net.apply({"params": p, "batch_stats": bs}, b,
+                                 training=True, mutable=["batch_stats"])
+            logits = out.reshape(-1, 4)
+            lp = jnp.take_along_axis(jax.nn.log_softmax(logits, -1),
+                                     labels.reshape(-1)[:, None], -1)[:, 0]
+            return -jnp.mean(lp), upd["batch_stats"]
+
+        @jax.jit
+        def step(p, bs, opt, b):
+            (loss, new_bs), g = jax.value_and_grad(
+                loss_fn, has_aux=True)(p, bs, b)
+            updates, opt = tx.update(g, opt, p)
+            return optax.apply_updates(p, updates), new_bs, opt, loss
+
+        losses = []
+        for _ in range(40):
+            params, bstats, opt, loss = step(params, bstats, opt, batch)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        # measured trajectory: 1.45 -> ~1.0 at 20 steps -> ~0.75 at 40
+        assert losses[-1] < 0.65 * losses[0], losses

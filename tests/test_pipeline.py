@@ -28,6 +28,7 @@ def _make(tmp, **pipe_kwargs):
 
     ds = Custom3D(dataset_path=str(tmp / "data"),
                   cache_dir=str(tmp / "cache"), use_cache=True,
+                  test_result_folder=str(tmp / "test_results"),
                   class_weights=[1] * 9)
     model = RandLANet(num_points=512, num_classes=9, ignored_label_inds=[0],
                       in_channels=3, dim_features=8,
@@ -73,9 +74,8 @@ class TestSemanticSegmentationPipeline:
         for res in pipe.test_results.values():
             assert res["predict_labels"].shape == (3000,)
         import glob
-        saved = glob.glob(str(synthetic_dataset / "test" / "*.npy")) + \
-            glob.glob("./test/*.npy")
-        # Custom3D writes into cfg.test_result_folder (default ./test)
+        saved = glob.glob(
+            str(synthetic_dataset / "test_results" / "*.npy"))
         assert len(saved) >= 1
 
     @pytest.mark.slow
