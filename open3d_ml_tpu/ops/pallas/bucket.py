@@ -15,9 +15,12 @@ pipeline itself (double-buffered, no random access):
   HBM) x [table, C] on the MXU. Measured [45k, 16, 128] gather: ~1 ms where
   the equivalent XLA random row-gather costs ~17 ms.
 
-Gradients: gather_pallas carries a custom VJP whose backward is an XLA
-scatter-add into the value rows (training-path only; inference never pays
-it). Neighbor indices are integral — no gradient flows through the search.
+Gradients: gather_pallas carries a custom VJP whose backward is the
+TRANSPOSED one-hot matmul per block (MXU) plus one segment-granular
+scatter-add of nqb*S contiguous chunks — a direct Q*K-row scatter-add
+measured as the dominant cost of fused training (the swap doubled
+train-step throughput, 0.82M -> 1.66M pts/s). Neighbor indices are
+integral — no gradient flows through the search.
 
 Replaces the role of the reference's CUDA knn/gather ops
 (/root/reference/ml3d/torch/models/randlanet.py:215-232 host KD-trees;
@@ -209,10 +212,15 @@ def _gather_kernel(sref, rel_ref, *args, k, s, c, compute_dtype):
     qb = rel.shape[0]
     table = tab.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (qb, table), 1)
+    # the MXU's DEFAULT precision rounds f32 inputs to bf16; a gather must
+    # be value-exact when f32 is requested
+    prec = (jax.lax.Precision.HIGHEST
+            if compute_dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
     for kk in range(k):
         oh = (iota == rel[:, kk][:, None]).astype(compute_dtype)
         out = jax.lax.dot_general(
             oh, tab, dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=prec,
             preferred_element_type=jnp.float32)
         out_ref[0, :, kk * c:(kk + 1) * c] = out.astype(out_ref.dtype)
 
@@ -280,22 +288,82 @@ def _gather_fwd(values, seg_ids, rel, seg, qblock, compute_dtype, interpret):
     return out, (values.shape, seg_ids, rel)
 
 
-def _gather_bwd(seg, qblock, compute_dtype, interpret, res, g):
-    """Backward: scatter-add the cotangents into the gathered rows.
+def _gather_bwd_kernel(rel_ref, g_ref, out_ref, *, k, c, table,
+                       compute_dtype):
+    """Per query block: dTable = one-hot^T @ g — the exact transpose of the
+    forward's gather matmul, on the MXU. compute_dtype matches the
+    forward's (f32 = exact grads; bf16 rounds the cotangents like the
+    forward rounds the values)."""
+    rel = rel_ref[0]                                   # [qb, K]
+    qb = rel.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (qb, table), 1)
+    prec = (jax.lax.Precision.HIGHEST
+            if compute_dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+    acc = jnp.zeros((table, c), jnp.float32)
+    for kk in range(k):
+        oh = (iota == rel[:, kk][:, None]).astype(compute_dtype)
+        gk = g_ref[0, :, kk * c:(kk + 1) * c].astype(compute_dtype)
+        acc = acc + jax.lax.dot_general(
+            oh, gk, dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=prec,
+            preferred_element_type=jnp.float32)        # [table, C]
+    out_ref[0] = acc
 
-    XLA scatter (latency-bound) — acceptable because only the training path
-    pays it; swap for a transposed Pallas kernel if training becomes
-    gather-bound.
+
+def _gather_bwd(seg, qblock, compute_dtype, interpret, res, g):
+    """Backward: accumulate cotangents into the gathered value rows.
+
+    A direct scatter-add is row-latency-bound (Q*K rows — measured the
+    dominant cost of fused training). Instead each block's [table, C]
+    partial is the TRANSPOSED one-hot matmul of the forward (MXU), and the
+    per-(block, slot) partials are reduced into value rows with one
+    segment-granular scatter-add of nqb*S large contiguous chunks.
     """
     vshape, seg_ids, rel = res
     b, n, c = vshape
     _, q, k = rel.shape
-    blk = jnp.arange(q)[None, :, None] // qblock
-    bidx = jnp.arange(b)[:, None, None]
-    glob = seg_ids[bidx, blk, rel // seg] * seg + rel % seg  # [B, Q, K]
-    dv = jnp.zeros(vshape, g.dtype)
-    dv = dv.at[bidx, glob].add(g)
-    return dv, None, None
+    _, nqb, s = seg_ids.shape
+    table = s * seg
+
+    if interpret:  # XLA twin: plain scatter-add
+        blk = jnp.arange(q)[None, :, None] // qblock
+        bidx = jnp.arange(b)[:, None, None]
+        glob = seg_ids[bidx, blk, rel // seg] * seg + rel % seg
+        dv = jnp.zeros(vshape, g.dtype)
+        dv = dv.at[bidx, glob].add(g)
+        return dv, None, None
+
+    qpad = (-q) % qblock
+    relp = jnp.pad(rel, ((0, 0), (0, qpad), (0, 0))) if qpad else rel
+    gp = g.reshape(b, q, k * c)
+    if qpad:  # padded queries contribute zero
+        gp = jnp.pad(gp, ((0, 0), (0, qpad), (0, 0)))
+
+    kern = functools.partial(_gather_bwd_kernel, k=k, c=c, table=table,
+                             compute_dtype=compute_dtype)
+    partial = pl.pallas_call(
+        kern,
+        grid=(b, nqb),
+        in_specs=[
+            pl.BlockSpec((1, qblock, k), lambda ib, iq: (ib, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qblock, k * c), lambda ib, iq: (ib, iq, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, table, c), lambda ib, iq: (ib, iq, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, nqb * table, c), jnp.float32),
+    )(relp, gp)
+
+    # reduce partials into value rows: one scatter-add of nqb*S contiguous
+    # [seg, C] chunks per sample (latency ~nqb*S rows, not Q*K)
+    part = partial.reshape(b, nqb * s, seg, c)
+    sid = seg_ids.reshape(b, nqb * s)
+    nseg = n // seg
+    bidx = jnp.arange(b)[:, None]
+    dv = jnp.zeros((b, nseg, seg, c), jnp.float32)
+    dv = dv.at[bidx, sid].add(part, mode="drop")
+    return dv.reshape(b, n, c).astype(g.dtype), None, None
 
 
 gather_pallas.defvjp(_gather_fwd, _gather_bwd)
