@@ -579,7 +579,16 @@ class KPFCNN(BaseModel):
         return out
 
     def _radius_neighbors(self, support, queries, radius, cap):
-        """Padded [Q, cap] radius neighbors; sentinel len(support)."""
+        """Padded [Q, cap] radius neighbors; sentinel len(support).
+
+        The C++ KD-tree writes the padded array directly; the scipy
+        fallback pays a Python loop over the per-query lists."""
+        from ..native import NativeKDTree, native_available
+        if native_available():
+            out, _ = NativeKDTree(np.ascontiguousarray(
+                support, np.float32)).query_radius_padded(
+                    queries, radius, cap, fill=len(support))
+            return out
         tree = cKDTree(support)
         lists = tree.query_ball_point(queries, radius)
         out = np.full((len(queries), cap), len(support), np.int32)

@@ -120,6 +120,15 @@ class NativeKDTree:
 
     def query_radius(self, queries, r, cap=4096):
         """Per-query neighbor index lists (python list of arrays)."""
+        out_i, out_c = self.query_radius_padded(queries, r, cap)
+        return [out_i[i, :min(out_c[i], cap)] for i in range(len(out_c))]
+
+    def query_radius_padded(self, queries, r, cap=4096, fill=None):
+        """Padded radius query, no per-query Python loop.
+
+        Returns (idx [Q, cap] int32, counts [Q] int32); entries beyond a
+        query's count hold ``fill`` (default: n, the sentinel row).
+        """
         q = np.ascontiguousarray(queries, np.float32).reshape(-1, 3)
         nq = q.shape[0]
         out_i = np.zeros((nq, cap), np.int32)
@@ -127,7 +136,10 @@ class NativeKDTree:
         self._lib.kdtree_radius(self._handle, _fptr(q), ctypes.c_int64(nq),
                                 ctypes.c_float(r), ctypes.c_int32(cap),
                                 _iptr(out_i), _iptr(out_c))
-        return [out_i[i, :min(out_c[i], cap)] for i in range(nq)]
+        sentinel = self.n if fill is None else fill
+        pad = np.arange(cap, dtype=np.int32)[None, :] >= out_c[:, None]
+        out_i[pad] = sentinel
+        return out_i, out_c
 
 
 def native_available():
