@@ -31,7 +31,8 @@ sparse regions each sub-block is guaranteed its own closest segments
 exact neighbors (zoo-parity eval) use the host KD-tree path instead
 (knn_method='exact'/'approx', knn_on_device=False).
 
-Unlike a pure curve-window scheme (ops/window.py), the candidate set is
+Unlike a pure curve-window scheme (knn_method='window', ops/morton.py
+knn_window), the candidate set is
 data-dependent — segments across a Morton seam are still selected when they
 are geometrically close — so single-curve recall does not collapse (a
 curve-window at the same candidate budget measures ~0.4 recall on lidar
