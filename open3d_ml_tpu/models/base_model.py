@@ -53,6 +53,18 @@ class BaseModel(ABC):
     def get_optimizer(self, cfg_pipeline):
         """Return (optax_tx, lr_schedule_or_None)."""
 
+    def get_eval_net(self):
+        """Network used by ``run_test``/``run_inference``.
+
+        Models whose training/bench net takes approximate shortcuts
+        (e.g. RandLA-Net's fused bucket-KNN) override this to return an
+        exact-path net sharing the same parameter tree, so that reported
+        accuracy is never silently measured through an approximation
+        (reference eval protocol: ml3d/torch/pipelines/
+        semantic_segmentation.py:189-269). Default: the training net.
+        """
+        return self.get_net()
+
     def regularizer_loss(self, aux_collections):
         """Extra loss from auxiliary variable collections returned by the
         train-step apply (e.g. KPConv's sown "p2p_reg" terms). Default 0."""

@@ -479,7 +479,9 @@ class RandLANet(BaseModel):
                          **kwargs)
         self.augmenter = SemsegAugmentation(self.cfg.augment, seed=self.rng)
 
-    def get_net(self):
+    def get_net(self, knn_method=None):
+        """Build the flax net; ``knn_method`` overrides the configured
+        neighbor path (all paths share one parameter tree)."""
         cfg = self.cfg
         single = RandLANetNet(
             num_neighbors=cfg.num_neighbors,
@@ -489,7 +491,7 @@ class RandLANet(BaseModel):
             dim_output=tuple(cfg.dim_output),
             sub_sampling_ratio=tuple(cfg.sub_sampling_ratio),
             knn_on_device=cfg.knn_on_device,
-            knn_method=cfg.knn_method,
+            knn_method=knn_method or cfg.knn_method,
             grid_cells=tuple(cfg.grid_cells) if cfg.grid_cells else
             tuple(cfg.grid_size * f for f in (4.0, 16.0, 64.0, 256.0)),
             seg=cfg.seg,
@@ -498,6 +500,23 @@ class RandLANet(BaseModel):
             presorted=cfg.presorted,
             compute_dtype=cfg.compute_dtype)
         return BatchedNet(net=single)
+
+    def get_eval_net(self):
+        """Evaluation net: exact neighbors unless ``eval_knn_method``
+        explicitly opts into an approximate path.
+
+        This enforces in code what the docs promise — accuracy reported by
+        ``run_test``/``run_inference`` comes from the exact KNN pyramid
+        even when the model trains/benches on the fused bucket path.
+        """
+        method = self.cfg.get("eval_knn_method", None) or "exact"
+        if method != "exact":
+            import logging
+            logging.getLogger(__name__).warning(
+                "RandLANet evaluation uses APPROXIMATE neighbors "
+                "(eval_knn_method=%s); reported accuracy is not the exact-"
+                "path accuracy.", method)
+        return self.get_net(knn_method=method)
 
     # ------------------------------------------------------------- host side
 

@@ -187,7 +187,10 @@ class SemanticSegmentation(BasePipeline):
         return jax.jit(eval_step)
 
     def _make_infer_fn(self):
-        net = self.net
+        # run_test/run_inference go through the model's EVAL net: exact
+        # neighbor paths unless the config's eval_knn_method says otherwise
+        # (parameter trees are shared across paths, see BaseModel).
+        net = self.model.get_eval_net()
 
         def infer(params, batch_stats, consts, batch):
             return net.apply(

@@ -92,6 +92,66 @@ class TestSemanticSegmentationPipeline:
         assert result["predict_scores"].shape == (2000, 9)
 
 
+class TestEvalPathEnforcement:
+    """run_test/run_inference must evaluate through exact neighbors even
+    when the model is configured for the approximate fused path, unless
+    eval_knn_method explicitly opts out (VERDICT r2 #8)."""
+
+    def _model(self, **kw):
+        from open3d_ml_tpu.models import RandLANet
+        return RandLANet(num_points=256, num_classes=5,
+                         ignored_label_inds=[0], in_channels=3,
+                         dim_features=8, dim_output=[16, 32, 64, 128],
+                         sub_sampling_ratio=[4, 4, 4, 4],
+                         knn_method="fused", **kw)
+
+    def test_eval_net_defaults_to_exact(self):
+        model = self._model()
+        assert model.get_net().net.knn_method == "fused"
+        assert model.get_eval_net().net.knn_method == "exact"
+
+    def test_eval_net_override_warns(self, caplog):
+        import logging
+        model = self._model(eval_knn_method="fused")
+        with caplog.at_level(logging.WARNING):
+            net = model.get_eval_net()
+        assert net.net.knn_method == "fused"
+        assert any("APPROXIMATE" in r.message for r in caplog.records)
+
+    def test_shared_param_tree_fused_vs_exact(self):
+        """One parameter tree drives both paths: init on the fused net,
+        apply through the eval (exact) net."""
+        import jax
+        import jax.numpy as jnp
+        model = self._model()
+        rng = np.random.default_rng(0)
+        batch = {
+            "coords": jnp.asarray(
+                rng.uniform(-5, 5, (1, 256, 3)), jnp.float32),
+            "features": jnp.asarray(
+                rng.uniform(-5, 5, (1, 256, 3)), jnp.float32),
+        }
+        key = jax.random.PRNGKey(0)
+        variables = model.get_net().init(
+            {"params": key, "dropout": key}, batch, training=False)
+        out = model.get_eval_net().apply(variables, batch, training=False)
+        assert out.shape == (1, 256, 5)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_infer_fn_uses_eval_net(self, synthetic_dataset, monkeypatch):
+        ds, model, pipe = _make(synthetic_dataset)
+        called = {}
+        orig = model.get_eval_net
+
+        def spy():
+            called["yes"] = True
+            return orig()
+
+        monkeypatch.setattr(model, "get_eval_net", spy)
+        pipe._make_infer_fn()
+        assert called.get("yes")
+
+
 class TestRegistryIntegration:
 
     def test_get_module_roundtrip(self):
