@@ -32,7 +32,19 @@ REFERENCE_PP_SCANS_PER_SEC = 50.0
 def _probe_devices(retries=6, delay=5.0):
     """Probe the backend with retry/backoff; a relay blip at t=0 must not
     kill the run. Returns the device list (raises after all retries)."""
+    import os
+
     import jax
+    try:
+        # persistent compile cache: the train-step compile is minutes cold,
+        # seconds warm — this is what makes the train metric affordable in
+        # the default record (same mechanism as parallel/dryrun.py)
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     last = None
     for attempt in range(retries):
         try:
@@ -99,7 +111,16 @@ def bench_randlanet():
     t0 = time.perf_counter()
     float(run(variables, batch))
     dt = time.perf_counter() - t0
-    return batch_size * num_points * iters / dt
+
+    from open3d_ml_tpu.utils.flops import (peak_flops_for,
+                                           randlanet_forward_flops)
+    flops_fwd = randlanet_forward_flops(
+        num_points, num_neighbors=16, dim_output=(16, 64, 128, 256),
+        dim_features=8, in_channels=3, sub_sampling_ratio=(4, 4, 4, 4),
+        num_classes=19, batch_size=batch_size)
+    peak = peak_flops_for(jax.devices()[0].device_kind)
+    mfu = flops_fwd * iters / dt / peak
+    return batch_size * num_points * iters / dt, flops_fwd, mfu
 
 
 def bench_randlanet_train():
@@ -229,7 +250,28 @@ def bench_pointpillars():
     t0 = time.perf_counter()
     float(run(variables, batch))
     dt = time.perf_counter() - t0
-    return batch_size * iters / dt
+
+    from open3d_ml_tpu.utils.flops import (peak_flops_for,
+                                           pointpillars_forward_flops)
+    head = dict(model_cfg.get("head", {}))
+    sizes = head.get("sizes", [[1.6, 3.9, 1.56]])
+    rotations = head.get("rotations", [0, 1.5707963])
+    flops_fwd = pointpillars_forward_flops(
+        max_points=model.cfg.max_points,
+        feat_channels=tuple(
+            dict(model_cfg.get("voxel_encoder", {})).get(
+                "feat_channels", [64])),
+        output_shape=tuple(
+            dict(model_cfg.get("scatter", {})).get(
+                "output_shape", [496, 432])),
+        backbone=dict(model_cfg.get("backbone", {})),
+        neck=dict(model_cfg.get("neck", {})),
+        num_classes=len(model_cfg.get("classes", ["Car", "Ped", "Cyc"])),
+        num_anchors=len(np.asarray(sizes).reshape(-1, 3)) * len(rotations),
+        batch_size=batch_size)
+    peak = peak_flops_for(jax.devices()[0].device_kind)
+    mfu = flops_fwd * iters / dt / peak
+    return batch_size * iters / dt, flops_fwd, mfu
 
 
 def main():
@@ -240,27 +282,32 @@ def main():
         "vs_baseline": 0.0,
     }
     try:
-        _probe_devices()
-        pps = bench_randlanet()
+        devs = _probe_devices()
+        record["device_kind"] = getattr(devs[0], "device_kind", "unknown")
+        pps, flops_fwd, mfu = bench_randlanet()
         record["value"] = round(pps, 1)
         record["vs_baseline"] = round(pps / REFERENCE_POINTS_PER_SEC, 3)
+        record["model_flops_per_fwd"] = round(flops_fwd)
+        record["mfu"] = round(mfu, 5)
     except Exception:  # noqa: BLE001 - record, never traceback
         record["error"] = traceback.format_exc(limit=3)[-800:]
         print(json.dumps(record))
         return
 
     try:
-        sps = bench_pointpillars()
+        sps, pp_flops, pp_mfu = bench_pointpillars()
         record["pointpillars_scans_per_sec"] = round(sps, 2)
         record["pointpillars_vs_baseline"] = round(
             sps / REFERENCE_PP_SCANS_PER_SEC, 3)
+        record["pointpillars_mfu"] = round(pp_mfu, 5)
     except Exception:  # noqa: BLE001 - secondary metric must not kill run
         record["pointpillars_error"] = traceback.format_exc(limit=2)[-400:]
 
-    # opt-in: the train-step compile (grad of the fused pyramid at full
-    # size) adds minutes of XLA compile — too slow for the default record
+    # train throughput is part of the default record (VERDICT r2 #4); the
+    # multi-minute cold compile is bounded by the persistent compile cache
+    # set up in _probe_devices. BENCH_NO_TRAIN=1 skips it for quick runs.
     import os
-    if os.environ.get("BENCH_TRAIN"):
+    if not os.environ.get("BENCH_NO_TRAIN"):
         try:
             tps = bench_randlanet_train()
             record["randlanet_train_points_per_sec"] = round(tps, 1)

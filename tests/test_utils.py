@@ -144,3 +144,37 @@ class TestProfiling:
             with annotate("block"):
                 x = jnp.ones(4) + 1
         assert float(x.sum()) == 8.0
+
+
+class TestFlops:
+    """Analytic FLOPs accounting used by bench.py's MFU field."""
+
+    def test_randlanet_scales_linearly_in_points_and_batch(self):
+        from open3d_ml_tpu.utils.flops import randlanet_forward_flops
+        f1 = randlanet_forward_flops(4096)
+        assert randlanet_forward_flops(8192) == pytest.approx(2 * f1)
+        assert randlanet_forward_flops(4096, batch_size=3) == \
+            pytest.approx(3 * f1)
+
+    def test_randlanet_flagship_magnitude(self):
+        """Hand-derived bound for the benched config: the dominant terms
+        are the two K-axis attention score Denses (2*n*K*d^2 each) at
+        every level — 1.2-1.5 GF/level-pair — so one 45,056-pt forward
+        must land in the 10-20 GF band."""
+        from open3d_ml_tpu.utils.flops import randlanet_forward_flops
+        f = randlanet_forward_flops(45056)
+        assert 10e9 < f < 20e9, f
+
+    def test_pointpillars_conv_dominated(self):
+        """SECOND block1 alone (5+1 convs of 128ch at 124x108) is
+        ~12.7 GF; the full forward must exceed it and stay < 100 GF."""
+        from open3d_ml_tpu.utils.flops import pointpillars_forward_flops
+        f = pointpillars_forward_flops()
+        assert 12.7e9 < f < 100e9, f
+
+    def test_peak_lookup(self):
+        from open3d_ml_tpu.utils.flops import (DEFAULT_PEAK_BF16,
+                                               peak_flops_for)
+        assert peak_flops_for("TPU v5 lite") == 197e12
+        assert peak_flops_for("TPU v5p chip") == 459e12
+        assert peak_flops_for(None) == DEFAULT_PEAK_BF16
