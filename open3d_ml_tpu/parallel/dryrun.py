@@ -126,3 +126,101 @@ def dryrun_train_step(n_devices, num_points=256, num_classes=8,
     loss = float(loss)
     assert np.isfinite(loss), f"dryrun loss not finite: {loss}"
     return loss
+
+
+def dryrun_objdet_step(n_devices):
+    """One PointPillars DP train step on an n-device mesh (tiny canvas).
+
+    The reference's actual DDP use case is object detection
+    (/root/reference/ml3d/torch/pipelines/object_detection.py:302-344);
+    this validates the mesh-sharded analog: batch sharded on "data",
+    params/opt replicated, XLA gradient all-reduce — through the full
+    voxelize -> PFN -> BEV scatter -> SECOND/FPN -> head -> anchor-assign
+    -> focal/smooth-L1/dir losses program. Returns the (finite) loss.
+    """
+    from ..models import PointPillars
+
+    try:
+        import os
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "..", "..", ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.abspath(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    devices = jax.devices()[:n_devices]
+    mesh = Mesh(np.asarray(devices), axis_names=("data",))
+    bsh = NamedSharding(mesh, P("data"))
+    rsh = NamedSharding(mesh, P())
+
+    pc_range = [0.0, -6.4, -3.0, 12.8, 6.4, 1.0]
+    model = PointPillars(
+        point_cloud_range=pc_range,
+        classes=["Pedestrian", "Car"],
+        voxelize={"max_num_points": 8, "voxel_size": [0.4, 0.4, 4],
+                  "max_voxels": [128, 128]},
+        voxel_encoder={"in_channels": 4, "feat_channels": [16],
+                       "voxel_size": [0.4, 0.4, 4]},
+        scatter={"in_channels": 16, "output_shape": [32, 32]},
+        backbone={"in_channels": 16, "out_channels": [16, 32],
+                  "layer_nums": [1, 1], "layer_strides": [2, 2]},
+        neck={"in_channels": [16, 32], "out_channels": [16, 16],
+              "upsample_strides": [1, 2]},
+        head={"ranges": [pc_range, pc_range],
+              "sizes": [[0.6, 0.8, 1.73], [1.6, 3.9, 1.56]],
+              "rotations": [0, 1.5707963],
+              "iou_thr": [[0.35, 0.5], [0.45, 0.6]]},
+        max_points=256, max_gt=4)
+    net = model.get_net(training=True)
+
+    rng = np.random.default_rng(0)
+    b = max(n_devices, 2)
+    pts = np.zeros((b, 256, 4), np.float32)
+    n_real = 200
+    pts[:, :n_real, 0] = rng.uniform(pc_range[0], pc_range[3], (b, n_real))
+    pts[:, :n_real, 1] = rng.uniform(pc_range[1], pc_range[4], (b, n_real))
+    pts[:, :n_real, 2] = rng.uniform(pc_range[2], pc_range[5], (b, n_real))
+    boxes = np.zeros((b, 4, 7), np.float32)
+    boxes[:, :2, :3] = rng.uniform(1, 6, (b, 2, 3))
+    boxes[:, :2, 2] = -1.0
+    boxes[:, :2, 3:6] = [[0.6, 0.8, 1.73]]
+    labels = np.zeros((b, 4), np.int32)
+    batch = {
+        "point": jnp.asarray(pts),
+        "point_count": jnp.full((b,), n_real, jnp.int32),
+        "bboxes": jnp.asarray(boxes),
+        "labels": jnp.asarray(labels),
+        "bbox_count": jnp.full((b,), 2, jnp.int32),
+    }
+    batch = jax.tree.map(lambda x: jax.device_put(x, bsh), batch)
+
+    key = jax.random.PRNGKey(0)
+    variables = jax.jit(
+        lambda bb: net.init({"params": key}, bb, training=False))(batch)
+    params = jax.device_put(variables["params"], rsh)
+    batch_stats = jax.device_put(variables.get("batch_stats", {}), rsh)
+    tx = optax.adam(1e-3)
+    opt_state = jax.device_put(tx.init(params), rsh)
+
+    def train_step(params, batch_stats, opt_state, batch, rng_key):
+        def loss_fn(p):
+            results, updates = net.apply(
+                {"params": p, "batch_stats": batch_stats}, batch,
+                training=True, mutable=["batch_stats"],
+                rngs={"dropout": rng_key,
+                      "sampling": jax.random.fold_in(rng_key, 1)})
+            losses = model.get_loss(results, batch)
+            return sum(losses.values()), updates["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_bs, new_opt, loss
+
+    jitted = jax.jit(train_step)
+    _, _, _, loss = jitted(params, batch_stats, opt_state, batch, key)
+    loss = float(loss)
+    assert np.isfinite(loss), f"objdet dryrun loss not finite: {loss}"
+    return loss

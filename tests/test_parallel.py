@@ -35,6 +35,15 @@ class TestDataParallelTrainStep:
         assert np.isfinite(loss)
 
     @pytest.mark.slow
+    def test_dryrun_objdet_full_mesh(self):
+        """PointPillars DP train step over the 8-device mesh — the
+        reference's actual DDP use case (object_detection.py:302-344)."""
+        from open3d_ml_tpu.parallel.dryrun import dryrun_objdet_step
+        n = len(jax.devices())
+        loss = dryrun_objdet_step(n)
+        assert np.isfinite(loss)
+
+    @pytest.mark.slow
     def test_dp_grads_match_single_device(self):
         """DP gradient all-reduce must reproduce single-device grads."""
         import jax.numpy as jnp
