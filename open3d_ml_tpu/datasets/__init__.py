@@ -17,6 +17,7 @@ from .semantic3d import Semantic3D
 from .semantickitti import SemanticKITTI
 from .shapenet import ShapeNet
 from .sunrgbd import SunRGBD
+from .synthetic import SyntheticBoxes, SyntheticShapes
 from .toronto3d import Toronto3D
 from .tumfacade import TUMFacade
 from .waymo import Waymo
@@ -26,5 +27,5 @@ __all__ = [
     "BaseDatasetSplit", "Custom3D", "InferenceDummySplit", "KITTI", "Lyft",
     "MatterportObjects", "NuScenes", "Pandaset", "ParisLille3D", "S3DIS",
     "Scannet", "Semantic3D", "SemanticKITTI", "ShapeNet", "SunRGBD",
-    "Toronto3D", "TUMFacade", "Waymo",
+    "SyntheticBoxes", "SyntheticShapes", "Toronto3D", "TUMFacade", "Waymo",
 ]
