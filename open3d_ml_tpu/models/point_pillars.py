@@ -59,6 +59,10 @@ class PFNLayer(nn.Module):
     """
     out_channels: int
     last_layer: bool = True
+    # dtype of the segment-max pooling / pooled output (the canvas): bf16
+    # halves the HBM traffic of the biggest intermediate on the canvas-
+    # major path. Dense+BN always run float32.
+    pool_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, mask=None, training=False, *, seg_ids=None,
@@ -74,7 +78,7 @@ class PFNLayer(nn.Module):
             y = nn.Dense(units, use_bias=False, name="linear")(xa)
             y = nn.BatchNorm(use_running_average=not training,
                              momentum=0.99, epsilon=1e-3, name="norm")(y)
-            y = nn.relu(y)
+            y = nn.relu(y).astype(jnp.dtype(self.pool_dtype))
             pad_val = y[-1]  # [units]
             y = y[:-1]
             vmax = jax.ops.segment_max(y, seg_ids,
@@ -85,7 +89,8 @@ class PFNLayer(nn.Module):
             vmax = jnp.maximum(vmax, jnp.where(has_pad, pad_val[None, :],
                                                -jnp.inf))
             empty = seg_counts <= 0
-            vmax = jnp.where(empty[:, None], 0.0, vmax)
+            vmax = jnp.where(empty[:, None],
+                             jnp.asarray(0.0, vmax.dtype), vmax)
             if self.last_layer:
                 return vmax
             rep = vmax[jnp.clip(seg_ids, 0, num_segments - 1)]
@@ -114,6 +119,7 @@ class PillarFeatureNet(nn.Module):
     voxel_size: tuple = (0.16, 0.16, 4)
     point_cloud_range: tuple = (0, -40.0, -3, 70.0, 40.0, 1)
     max_pts: int = 32  # max points per pillar (pad-value fold threshold)
+    pool_dtype: str = "float32"  # see PFNLayer
 
     @nn.compact
     def __call__(self, features, counts, coors=None, mask=None,
@@ -123,14 +129,25 @@ class PillarFeatureNet(nn.Module):
         y_offset = vy / 2 + self.point_cloud_range[1]
 
         if point_to_voxel is not None:  # ---- point-major
-            # features [N, 4] raw points; counts [V]; point_to_voxel [N]
-            # (sentinel num_voxels for dropped points)
+            # features [N, 4] raw points; counts [V] (or None: computed
+            # here, fused with the coordinate sums — the canvas-major
+            # caller has no separate voxelizer to provide them);
+            # point_to_voxel [N] (sentinel num_voxels for dropped points)
             seg = point_to_voxel
             valid = seg < num_voxels
             xyz = features[:, :3]
-            sums = jax.ops.segment_sum(
-                jnp.where(valid[:, None], xyz, 0.0), seg,
-                num_segments=num_voxels + 1)[:num_voxels]
+            if counts is None:
+                one_xyz = jnp.concatenate(
+                    [jnp.ones((xyz.shape[0], 1), xyz.dtype), xyz], axis=-1)
+                s4 = jax.ops.segment_sum(
+                    jnp.where(valid[:, None], one_xyz, 0.0), seg,
+                    num_segments=num_voxels + 1)[:num_voxels]
+                counts = s4[:, 0].astype(jnp.int32)
+                sums = s4[:, 1:]
+            else:
+                sums = jax.ops.segment_sum(
+                    jnp.where(valid[:, None], xyz, 0.0), seg,
+                    num_segments=num_voxels + 1)[:num_voxels]
             means = sums / jnp.maximum(counts, 1).astype(
                 features.dtype)[:, None]  # [V, 3]
             f_cluster = xyz - means[jnp.clip(seg, 0, num_voxels - 1)]
@@ -146,6 +163,7 @@ class PillarFeatureNet(nn.Module):
             for i, ch in enumerate(self.feat_channels):
                 feats = PFNLayer(
                     ch, last_layer=(i == len(self.feat_channels) - 1),
+                    pool_dtype=self.pool_dtype,
                     name=f"pfn_{i}")(
                         feats, training=training, seg_ids=seg_s,
                         num_segments=num_voxels, seg_counts=counts,
@@ -266,6 +284,17 @@ class PointPillarsNet(nn.Module):
     # BatchNorm and the decode path stay float32. float32 for bit-parity
     # work (the conversion tests pin it).
     compute_dtype: str = "bfloat16"
+    # "canvas" (default): canvas-major pillarization — the canvas CELL id
+    # is the segment id and the PFN's segment-max writes the BEV canvas
+    # directly, so neither the [N] voxel-key argsort (2.3 ms/scan) nor
+    # the compact-pillar BEV scatter (1.9 ms/scan) exists; measured
+    # 2.6 ms/scan for the whole pillarize+PFN+canvas block vs 4.9.
+    # "compact": sort-based voxelize -> compact pillars -> scatter-light
+    # canvas (reference-exact per-pillar point cap + max_voxels cap).
+    # Semantic deltas of "canvas": no max_points_per_voxel cap (stats see
+    # ALL points of a pillar; the reference cap only bounds its dense
+    # [V, P] buffer) and no max_voxels cap (every occupied cell is real).
+    pillar_mode: str = "canvas"
 
     @nn.compact
     def __call__(self, inputs, training=False):
@@ -278,48 +307,72 @@ class PointPillarsNet(nn.Module):
         b, p, _ = points.shape
         pmask = jnp.arange(p)[None, :] < counts[:, None]
 
-        def voxelize_one(pts, mask):
-            vd = voxelize(pts[:, :3], vsize, pc_range[:3], pc_range[3:],
-                          self.max_voxels, self.max_num_points,
-                          points_mask=mask)
-            return (vd.point_to_voxel, vd.num_points_per_voxel, vd.coords,
-                    vd.voxel_mask)
-
-        p2v, counts_v, coors, vmask = jax.vmap(voxelize_one)(points, pmask)
-
-        # Point-major PFN over the flattened (B*N) points: the per-pillar
-        # [V, P, 4] gather (the profile's single largest cost, ~8.5 of
-        # 19 ms/scan) never materializes — pooling is a segment-max over
-        # per-batch-offset voxel ids.
-        mv = self.max_voxels
-        bv = b * mv
-        seg = jnp.where(p2v < mv, p2v + jnp.arange(b)[:, None] * mv, bv)
         pfn = PillarFeatureNet(feat_channels=tuple(self.feat_channels),
                                voxel_size=vsize,
                                point_cloud_range=pc_range,
                                max_pts=self.max_num_points,
+                               pool_dtype=self.compute_dtype,
                                name="voxel_encoder")
-        pillar_feats = pfn(
-            points.reshape(b * p, -1),
-            counts_v.reshape(bv),
-            training=training,
-            point_to_voxel=seg.reshape(b * p),
-            num_voxels=bv)  # [B*V, C]
-        c = pillar_feats.shape[-1]
-        pillar_feats = pillar_feats.reshape(b, mv, c)
 
-        # Build the BEV canvas [B, ny, nx, C]. Voxelize emits slots in
-        # ascending linearized-key order and the pillar key IS the canvas
-        # cell (single z bin, x-fastest linearization), so each cell can
-        # fetch its pillar with searchsorted + one row gather — ~5x faster
-        # than XLA's random scatter at the KITTI config (ops/bev.py).
-        from ..ops.bev import bev_scatter_sorted
-        cells = jnp.where(
-            vmask, coors[..., 1] * nx + coors[..., 0],
-            ny * nx + jnp.arange(mv, dtype=jnp.int32)[None, :])
-        canvas = bev_scatter_sorted(pillar_feats, cells.astype(jnp.int32),
-                                    ny * nx)
-        canvas = canvas.reshape(b, ny, nx, c)
+        if self.pillar_mode == "canvas":
+            # Canvas-major: the canvas cell id IS the segment id. The
+            # PFN's segment-max writes the [B*ny*nx, C] canvas directly —
+            # no voxelizer, no compact pillar list, no BEV scatter.
+            nc = ny * nx
+            rmin = jnp.asarray(pc_range[:3], points.dtype)
+            rmax = jnp.asarray(pc_range[3:], points.dtype)
+            cx = jnp.floor(
+                (points[..., 0] - pc_range[0]) / vsize[0]).astype(jnp.int32)
+            cy = jnp.floor(
+                (points[..., 1] - pc_range[1]) / vsize[1]).astype(jnp.int32)
+            valid = (pmask & (cx >= 0) & (cx < nx) & (cy >= 0) & (cy < ny) &
+                     jnp.all(points[..., :3] >= rmin, axis=-1) &
+                     jnp.all(points[..., :3] < rmax, axis=-1))
+            cell = cy * nx + cx
+            seg = jnp.where(
+                valid, cell + jnp.arange(b, dtype=jnp.int32)[:, None] * nc,
+                b * nc)
+            canvas = pfn(points.reshape(b * p, -1), None,
+                         training=training,
+                         point_to_voxel=seg.reshape(b * p),
+                         num_voxels=b * nc)  # [B*ny*nx, C]
+            canvas = canvas.reshape(b, ny, nx, canvas.shape[-1])
+        else:
+            # Compact pillars: sort-based voxelize (reference-exact
+            # max_voxels / max_points_per_voxel caps), point-major PFN
+            # over per-batch-offset voxel slots, scatter-light canvas.
+            def voxelize_one(pts, mask):
+                vd = voxelize(pts[:, :3], vsize, pc_range[:3], pc_range[3:],
+                              self.max_voxels, self.max_num_points,
+                              points_mask=mask)
+                return (vd.point_to_voxel, vd.num_points_per_voxel,
+                        vd.coords, vd.voxel_mask)
+
+            p2v, counts_v, coors, vmask = jax.vmap(voxelize_one)(points,
+                                                                 pmask)
+            mv = self.max_voxels
+            bv = b * mv
+            seg = jnp.where(p2v < mv, p2v + jnp.arange(b)[:, None] * mv, bv)
+            pillar_feats = pfn(
+                points.reshape(b * p, -1),
+                counts_v.reshape(bv),
+                training=training,
+                point_to_voxel=seg.reshape(b * p),
+                num_voxels=bv)  # [B*V, C]
+            c = pillar_feats.shape[-1]
+            pillar_feats = pillar_feats.reshape(b, mv, c)
+
+            # Voxelize emits slots in ascending linearized-key order and
+            # the pillar key IS the canvas cell (single z bin), so each
+            # cell fetches its pillar with one slot-index scatter + one
+            # row gather (ops/bev.py) instead of a feature-row scatter.
+            from ..ops.bev import bev_scatter_sorted
+            cells = jnp.where(
+                vmask, coors[..., 1] * nx + coors[..., 0],
+                ny * nx + jnp.arange(mv, dtype=jnp.int32)[None, :])
+            canvas = bev_scatter_sorted(pillar_feats,
+                                        cells.astype(jnp.int32), ny * nx)
+            canvas = canvas.reshape(b, ny, nx, c)
 
         xs = SECOND(**self.backbone, compute_dtype=self.compute_dtype,
                     name="backbone")(canvas, training=training)
@@ -419,7 +472,8 @@ class PointPillars(ObjdetBaseModel):
             neck={k: tuple(v) if isinstance(v, list) else v
                   for k, v in dict(cfg.neck or {}).items()},
             head=dict(cfg.head or {}),
-            compute_dtype=cfg.get("compute_dtype", "bfloat16"))
+            compute_dtype=cfg.get("compute_dtype", "bfloat16"),
+            pillar_mode=cfg.get("pillar_mode", "canvas"))
 
     # ------------------------------------------------------------- host side
 

@@ -177,6 +177,50 @@ class TestVoxelize:
         assert set(map(tuple, got)) == set(map(tuple, uniq))
 
 
+class TestCanvasMajorPillars:
+    """pillar_mode='canvas' (segment-max writes the BEV canvas directly)
+    must reproduce pillar_mode='compact' (sort-based voxelize + compact
+    pillars + scatter) through the FULL PointPillars net when neither the
+    per-pillar point cap nor the max_voxels cap binds — the two documented
+    semantic deltas of the canvas path."""
+
+    def _net(self, mode):
+        from open3d_ml_tpu.models.point_pillars import PointPillarsNet
+        pc = (0.0, -6.4, -3.0, 12.8, 6.4, 1.0)
+        return PointPillarsNet(
+            classes=("Car",), point_cloud_range=pc,
+            voxel_size=(0.4, 0.4, 4.0), max_num_points=32,
+            max_voxels=1024,
+            feat_channels=(16,), output_shape=(32, 32),
+            backbone={"in_channels": 16, "out_channels": (16, 32),
+                      "layer_nums": (1, 1), "layer_strides": (2, 2)},
+            neck={"in_channels": (16, 32), "out_channels": (16, 16),
+                  "upsample_strides": (1, 2)},
+            head={"ranges": [list(pc)], "sizes": [[1.6, 3.9, 1.56]],
+                  "rotations": [0, 1.5707963]},
+            compute_dtype="float32", pillar_mode=mode)
+
+    def test_canvas_equals_compact(self, rng):
+        import jax
+        b, p, n_real = 2, 1024, 800
+        pts = np.zeros((b, p, 4), np.float32)
+        pts[:, :n_real, 0] = rng.uniform(0, 12.7, (b, n_real))
+        pts[:, :n_real, 1] = rng.uniform(-6.3, 6.3, (b, n_real))
+        pts[:, :n_real, 2] = rng.uniform(-3, 1, (b, n_real))
+        pts[:, :n_real, 3] = rng.uniform(0, 1, (b, n_real))
+        batch = {"point": jnp.asarray(pts),
+                 "point_count": jnp.full((b,), n_real, jnp.int32)}
+        canvas_net = self._net("canvas")
+        compact_net = self._net("compact")
+        v = canvas_net.init({"params": jax.random.PRNGKey(0)}, batch,
+                            training=False)
+        out_a = canvas_net.apply(v, batch, training=False)
+        out_b = compact_net.apply(v, batch, training=False)
+        for a, bb in zip(out_a, out_b):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                       atol=1e-5)
+
+
 class TestSampling:
 
     def test_fps_first_index_and_spread(self, rng):
