@@ -18,6 +18,31 @@ from ..utils import Config, make_dir
 log = logging.getLogger(__name__)
 
 
+def _enable_compile_cache():
+    """Point JAX at a persistent compilation cache (once per process).
+
+    Full-size train-step compiles run minutes cold; with the cache a
+    re-run of the same program is seconds. Opt out / relocate with
+    OPEN3D_ML_TPU_COMPILE_CACHE=0 / =/path. The same cache directory is
+    shared by bench.py and parallel/dryrun.py.
+    """
+    import os
+    loc = os.environ.get("OPEN3D_ML_TPU_COMPILE_CACHE", "")
+    if loc == "0":
+        return
+    if not loc:
+        loc = os.path.join(os.path.expanduser("~"), ".cache",
+                           "open3d_ml_tpu", "jax_cache")
+    try:
+        import jax
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update("jax_compilation_cache_dir", loc)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
 class BasePipeline(ABC):
     """Base for SemanticSegmentation / ObjectDetection pipelines."""
 
@@ -31,6 +56,7 @@ class BasePipeline(ABC):
         self.model = model
         self.dataset = dataset
         self.rng = np.random.default_rng(kwargs.get("seed", None))
+        _enable_compile_cache()
 
         # "distributed" is implicit: the mesh spans all visible devices.
         self.mesh = make_mesh(
