@@ -1,0 +1,151 @@
+"""Accuracy-regression harness: train tiny models on procedural scenes and
+assert mIoU / detection quality above fixed floors through the REAL
+pipeline flows (run_train -> run_test / run_valid analogs).
+
+This is the feasible stand-in for zoo-checkpoint parity in an environment
+with no dataset/checkpoint downloads (VERDICT r2 "Next round" #2): the
+floors are set well under the measured values of a healthy build, so a
+silent accuracy regression (a num_segs-style approximation change, a BN
+semantics drift, a broken neighbor path) fails the suite while normal
+training variance does not. Reference protocol being mirrored:
+/root/reference/ml3d/torch/pipelines/semantic_segmentation.py:189-269
+(run_test -> per-cloud IoU) and object_detection.py:133-270 (run_valid ->
+mAP).
+
+Slow tier: each test trains for real (CPU, tiny shapes).
+"""
+
+import numpy as np
+import pytest
+
+# Floors sit ~40-50% under measured healthy values (recorded in each
+# test) so they catch breakage, not noise.
+SEMSEG_TRAIN_MIOU_FLOOR = 0.25
+SEMSEG_TEST_MIOU_FLOOR = 0.20
+OBJDET_RECALL_FLOOR = 0.35
+
+
+def _train_semseg(tmp_path, knn_method="exact", max_epoch=16):
+    """Train a small RandLA-Net on structured scenes; returns (pipeline,
+    model, dataset)."""
+    from open3d_ml_tpu.datasets import SyntheticShapes
+    from open3d_ml_tpu.models import RandLANet
+    from open3d_ml_tpu.pipelines import SemanticSegmentation
+
+    dataset = SyntheticShapes(
+        num_points_per_cloud=4096,
+        num_clouds={"training": 32, "validation": 2, "test": 2},
+        use_cache=True, cache_dir=str(tmp_path / "cache"),
+        steps_per_epoch_train=16,
+        test_result_folder=str(tmp_path / "results"))
+    model = RandLANet(
+        num_points=2048, num_classes=19, ignored_label_inds=[0],
+        in_channels=3, dim_features=8, dim_output=[16, 32, 64, 128],
+        sub_sampling_ratio=[4, 4, 4, 4], grid_size=0.10,
+        knn_method=knn_method,
+        augment={"recenter": {"dim": [0, 1]},
+                 "rotate": {"method": "vertical"}})
+    pipeline = SemanticSegmentation(
+        model, dataset=dataset, max_epoch=max_epoch, batch_size=4,
+        val_batch_size=2, test_batch_size=2, optimizer={"lr": 8e-3},
+        scheduler_gamma=0.98, main_log_dir=str(tmp_path / "logs"),
+        train_sum_dir=str(tmp_path / "tb"), num_workers=0)
+    pipeline.run_train()
+    return pipeline, model, dataset
+
+
+def _miou(results_per_cloud, split, num_classes):
+    cm = np.zeros((num_classes, num_classes), np.int64)
+    for cid, res in results_per_cloud.items():
+        labels = split.dataset.get_data(cid)["label"]
+        pred = np.asarray(res["predict_labels"]).reshape(-1)
+        valid = labels > 0
+        idx = labels[valid] * num_classes + pred[valid]
+        cm += np.bincount(idx, minlength=num_classes**2).reshape(
+            num_classes, num_classes)
+    inter = np.diag(cm).astype(np.float64)
+    union = cm.sum(0) + cm.sum(1) - np.diag(cm)
+    present = cm.sum(1) > 0
+    present[0] = False
+    return float((inter[present] /
+                  np.maximum(union[present], 1)).mean())
+
+
+@pytest.mark.slow
+class TestSemSegAccuracyRegression:
+
+    def test_train_and_test_miou_floors(self, tmp_path):
+        """Measured healthy values (this harness, 16 epochs / 256 steps on
+        CPU): train mIoU ~0.45, full-cloud test mIoU ~0.4. Floors sit at
+        0.25 / 0.20."""
+        pipeline, model, dataset = _train_semseg(tmp_path)
+        train_miou = pipeline.metric_train.iou()[-1]
+        assert train_miou > SEMSEG_TRAIN_MIOU_FLOOR, (
+            f"train mIoU {train_miou:.3f} under floor "
+            f"{SEMSEG_TRAIN_MIOU_FLOOR} — accuracy regression")
+
+        pipeline.run_test()
+        from open3d_ml_tpu.dataloaders import PointCloudDataloader
+        test_split = PointCloudDataloader(
+            dataset=dataset.get_split("test"),
+            preprocess=model.preprocess, transform=model.transform,
+            sampler=dataset.get_split("test").sampler, use_cache=False)
+        miou = _miou(pipeline.test_results, test_split, 19)
+        assert miou > SEMSEG_TEST_MIOU_FLOOR, (
+            f"test mIoU {miou:.3f} under floor {SEMSEG_TEST_MIOU_FLOOR}")
+
+
+@pytest.mark.slow
+class TestObjdetAccuracyRegression:
+
+    def test_pointpillars_map_floor(self, tmp_path):
+        """Train a small PointPillars on SyntheticBoxes scenes and assert
+        validation mAP BEV@0.25 through the real run_valid flow. Measured
+        healthy value with this recipe: ~60 mAP; floor 25."""
+        from open3d_ml_tpu.datasets import SyntheticBoxes
+        from open3d_ml_tpu.models import PointPillars
+        from open3d_ml_tpu.pipelines import ObjectDetection
+
+        pc = [0.0, -19.2, -3.0, 38.4, 19.2, 1.0]
+        dataset = SyntheticBoxes(
+            num_clouds={"training": 24, "validation": 4, "test": 2},
+            use_cache=True, cache_dir=str(tmp_path / "cache"),
+            steps_per_epoch_train=128,
+            test_result_folder=str(tmp_path / "results"))
+        model = PointPillars(
+            point_cloud_range=pc,
+            classes=["Pedestrian", "Cyclist", "Car"],
+            voxelize={"max_num_points": 32, "voxel_size": [0.4, 0.4, 4],
+                      "max_voxels": [4000, 8000]},
+            voxel_encoder={"in_channels": 4, "feat_channels": [32],
+                           "voxel_size": [0.4, 0.4, 4]},
+            scatter={"in_channels": 32, "output_shape": [96, 96]},
+            backbone={"in_channels": 32, "out_channels": [32, 64],
+                      "layer_nums": [2, 2], "layer_strides": [2, 2]},
+            neck={"in_channels": [32, 64], "out_channels": [32, 32],
+                  "upsample_strides": [1, 2]},
+            head={"ranges": [[0, -19.2, -0.6, 38.4, 19.2, -0.6],
+                             [0, -19.2, -0.6, 38.4, 19.2, -0.6],
+                             [0, -19.2, -1.0, 38.4, 19.2, -1.0]],
+                  "sizes": [[0.6, 0.8, 1.73], [0.6, 1.76, 1.73],
+                            [1.6, 3.9, 1.56]],
+                  "rotations": [0, 1.5707963],
+                  "iou_thr": [[0.25, 0.4], [0.25, 0.4], [0.3, 0.5]],
+                  "score_thr": 0.1},
+            loss={"focal": {"gamma": 2.0, "alpha": 0.25,
+                            "loss_weight": 1.0},
+                  "smooth_l1": {"beta": 0.11, "loss_weight": 2.0},
+                  "cross_entropy": {"loss_weight": 0.2}},
+            max_points=16384, max_gt=16,
+            augment={"PointShuffle": True})
+        pipeline = ObjectDetection(
+            model, dataset=dataset, max_epoch=30, batch_size=4,
+            val_batch_size=4, save_ckpt_freq=1000, validation_freq=1000,
+            optimizer={"lr": 2e-3}, difficulties=[0], overlaps=[0.25],
+            main_log_dir=str(tmp_path / "logs"),
+            train_sum_dir=str(tmp_path / "tb"), num_workers=0)
+        pipeline.run_train()
+        pipeline.run_valid()
+        assert pipeline.valid_map_bev > OBJDET_RECALL_FLOOR * 100, (
+            f"mAP BEV@0.25 {pipeline.valid_map_bev:.1f} under floor "
+            f"{OBJDET_RECALL_FLOOR * 100:.0f} — detection regression")
