@@ -274,6 +274,184 @@ def bench_pointpillars():
     return batch_size * iters / dt, flops_fwd, mfu
 
 
+def _chained_throughput(apply_fn, variables, batch, rows_per_iter,
+                        iters=10):
+    """Time `iters` chained forwards inside one jit (see bench_randlanet
+    for why) and return rows/sec."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    def bump(b, s):
+        out = dict(b)
+        for k, v in out.items():
+            if isinstance(v, list):
+                out[k] = [x + s * 1e-38 if jnp.issubdtype(
+                    x.dtype, jnp.floating) else x for x in v]
+            elif jnp.issubdtype(v.dtype, jnp.floating):
+                out[k] = v + s * 1e-38
+        return out
+
+    @jax.jit
+    def run(v, b):
+        def body(_, s):
+            outs = apply_fn(v, bump(b, s))
+            return sum(jnp.sum(o.astype(jnp.float32))
+                       for o in jax.tree.leaves(outs))
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    float(run(variables, batch))  # warmup + compile
+    t0 = time.perf_counter()
+    float(run(variables, batch))
+    dt = time.perf_counter() - t0
+    return rows_per_iter * iters / dt
+
+
+def _lidar_cloud(n, seed=0, r_max=50.0):
+    rng = np.random.default_rng(seed)
+    r = 2.0 * (r_max / 2.0) ** rng.uniform(0, 1, n)
+    th = rng.uniform(0, 2 * np.pi, n)
+    return np.stack([r * np.cos(th), r * np.sin(th),
+                     rng.uniform(-2, 1, n)], 1).astype(np.float32)
+
+
+def bench_kpconv():
+    """KPFCNN SemanticKITTI-config on-device forward points/sec.
+
+    The radius-neighbor pyramid is host-built in dataloader workers
+    (exactly where the reference builds it, concat_batcher.py:186-370)
+    and pipelined with device steps, so the metric times the device
+    program: the KPConv gather/kernel-correlation stack over a 16,384-pt
+    patch. Anchor: ~0.3M pts/s (KPConv paper reports ~100 ms forwards for
+    ~15k-pt batches on a GTX 1080Ti; doubled for a modern GPU).
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    from open3d_ml_tpu.dataloaders import DefaultBatcher
+    from open3d_ml_tpu.datasets.samplers import SemSegRandomSampler
+    from open3d_ml_tpu.models import KPFCNN
+    from open3d_ml_tpu.utils import Config
+
+    cfg_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "open3d_ml_tpu", "configs",
+                            "kpconv_semantickitti.yml")
+    cfg = Config.load_from_file(cfg_path)
+    model_cfg = dict(cfg.model)
+    model_cfg.pop("name", None)
+    model = KPFCNN(**model_cfg)
+
+    data = {"point": _lidar_cloud(120000), "feat": None,
+            "label": np.zeros(120000, np.int32)}
+    pre = model.preprocess(data, {"split": "test"})
+    model.trans_point_sampler = SemSegRandomSampler.get_point_sampler()
+    t = model.transform(pre, {"split": "test"})
+    batch = DefaultBatcher().collate_fn(
+        [{"data": t, "attr": {}}])["data"]
+    batch = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else
+                 [jnp.asarray(x) for x in v]) for k, v in batch.items()
+             if k != "labels" and not k.startswith("point_inds")}
+
+    net = model.get_net()
+    key = jax.random.PRNGKey(0)
+    variables = jax.jit(
+        lambda b: net.init({"params": key}, b, training=False))(batch)
+    pps = _chained_throughput(
+        lambda v, b: net.apply(v, b, training=False), variables, batch,
+        rows_per_iter=model.cfg.num_points)
+    return pps
+
+
+def bench_sparseconvunet():
+    """SparseConvUnet ScanNet-config on-device forward points/sec.
+
+    Whole program on device: voxel hash + rulebook construction + 7-level
+    submanifold U-Net + devoxelize, 65,536-pt / 40k-voxel scene. Anchor:
+    ~1.0M pts/s (TorchSparse-class runtimes: a ~100k-pt ScanNet scene in
+    ~100 ms on a modern GPU).
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    from open3d_ml_tpu.models import SparseConvUnet
+    from open3d_ml_tpu.utils import Config
+
+    cfg_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "open3d_ml_tpu", "configs",
+                            "sparseconvunet_scannet.yml")
+    cfg = Config.load_from_file(cfg_path)
+    model_cfg = dict(cfg.model)
+    model_cfg.pop("name", None)
+    model = SparseConvUnet(**model_cfg)
+    n = model.cfg.num_points
+
+    rng = np.random.default_rng(0)
+    # indoor-scene-like cloud in voxel units (preprocess scale 1/0.02,
+    # snapped to voxel centers) — ~8m x 8m x 3m room
+    pts = np.stack([rng.uniform(0, 400, n), rng.uniform(0, 400, n),
+                    rng.uniform(0, 150, n)], 1)
+    pts = (pts.astype(np.int32) + 0.5).astype(np.float32)
+    batch = {
+        "point": jnp.asarray(pts[None]),
+        "feat": jnp.asarray(rng.uniform(-1, 1, (1, n, 3)), jnp.float32),
+        "point_mask": jnp.ones((1, n), bool),
+    }
+    net = model.get_net()
+    key = jax.random.PRNGKey(0)
+    variables = jax.jit(
+        lambda b: net.init({"params": key}, b, training=False))(batch)
+    return _chained_throughput(
+        lambda v, b: net.apply(v, b, training=False), variables, batch,
+        rows_per_iter=n, iters=5)
+
+
+def bench_pointtransformer():
+    """PointTransformer S3DIS-config on-device forward points/sec.
+
+    Whole program on device: FPS transition-downs, KNN vector
+    self-attention, trilinear transition-ups over a 16,384-pt room patch,
+    batch 2. Anchor: ~0.3M pts/s (the reference vector-attention
+    implementation runs S3DIS rooms at hundreds of ms on a modern GPU).
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    from open3d_ml_tpu.models import PointTransformer
+    from open3d_ml_tpu.utils import Config
+
+    cfg_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "open3d_ml_tpu", "configs",
+                            "pointtransformer_s3dis.yml")
+    cfg = Config.load_from_file(cfg_path)
+    model_cfg = dict(cfg.model)
+    model_cfg.pop("name", None)
+    model = PointTransformer(**model_cfg)
+    n = model.cfg.num_points
+    b = 2
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "point": jnp.asarray(rng.uniform(0, 8, (b, n, 3)), jnp.float32),
+        "feat": jnp.asarray(rng.uniform(0, 1, (b, n, 3)), jnp.float32),
+    }
+    net = model.get_net()
+    key = jax.random.PRNGKey(0)
+    variables = jax.jit(
+        lambda bb: net.init({"params": key}, bb, training=False))(batch)
+    return _chained_throughput(
+        lambda v, bb: net.apply(v, bb, training=False), variables, batch,
+        rows_per_iter=b * n, iters=5)
+
+
+REFERENCE_KPCONV_PPS = 3.0e5
+REFERENCE_SCU_PPS = 1.0e6
+REFERENCE_PT_PPS = 3.0e5
+
+
 def main():
     record = {
         "metric": "randlanet_inference_points_per_sec",
@@ -303,11 +481,32 @@ def main():
     except Exception:  # noqa: BLE001 - secondary metric must not kill run
         record["pointpillars_error"] = traceback.format_exc(limit=2)[-400:]
 
+    # secondary-config throughputs (BASELINE.json names these configs);
+    # each records independently and must not kill the run. BENCH_QUICK=1
+    # skips them (and the train metric) for fast iteration.
+    import os
+    if not os.environ.get("BENCH_QUICK"):
+        for field, anchor, fn in (
+                ("kpconv_points_per_sec", REFERENCE_KPCONV_PPS,
+                 bench_kpconv),
+                ("sparseconvunet_points_per_sec", REFERENCE_SCU_PPS,
+                 bench_sparseconvunet),
+                ("pointtransformer_points_per_sec", REFERENCE_PT_PPS,
+                 bench_pointtransformer)):
+            try:
+                pps = fn()
+                record[field] = round(pps, 1)
+                record[field.replace("_points_per_sec", "_vs_baseline")] = \
+                    round(pps / anchor, 3)
+            except Exception:  # noqa: BLE001
+                record[field + "_error"] = \
+                    traceback.format_exc(limit=2)[-300:]
+
     # train throughput is part of the default record (VERDICT r2 #4); the
     # multi-minute cold compile is bounded by the persistent compile cache
     # set up in _probe_devices. BENCH_NO_TRAIN=1 skips it for quick runs.
-    import os
-    if not os.environ.get("BENCH_NO_TRAIN"):
+    if not os.environ.get("BENCH_NO_TRAIN") and \
+            not os.environ.get("BENCH_QUICK"):
         try:
             tps = bench_randlanet_train()
             record["randlanet_train_points_per_sec"] = round(tps, 1)
