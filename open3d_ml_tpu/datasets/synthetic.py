@@ -108,23 +108,23 @@ def _double_plane(rng, n, gap=0.3, extent=1.5):
 
 # class id -> (points_per_instance_base, z_lift, generator)
 _SEMSEG_SHAPES = {
-    2: (420, 0.0, lambda rng, n: _plane_patch(rng, n, 0.02, 2.0)),
-    3: (420, 0.0, lambda rng, n: _plane_patch(rng, n, 0.10, 2.0)),
-    4: (420, 0.0, lambda rng, n: _plane_patch(rng, n, 0.30, 2.0)),
-    5: (300, 0.5, lambda rng, n: _sphere_shell(rng, n, 0.5)),
-    6: (420, 1.5, lambda rng, n: _sphere_shell(rng, n, 1.5)),
-    7: (540, 3.0, lambda rng, n: _sphere_shell(rng, n, 3.0)),
-    8: (300, 0.0, lambda rng, n: _cylinder_shell(rng, n, 0.3, 3.0)),
-    9: (420, 0.0, lambda rng, n: _cylinder_shell(rng, n, 1.0, 3.0)),
-    10: (540, 0.0, lambda rng, n: _cylinder_shell(rng, n, 2.5, 3.0)),
-    11: (240, 2.0, lambda rng, n: _wire(rng, n, 0.02, 6.0)),
-    12: (240, 2.0, lambda rng, n: _wire(rng, n, 0.15, 6.0)),
-    13: (360, 0.8, lambda rng, n: _ball(rng, n, 0.8)),
-    14: (480, 2.0, lambda rng, n: _ball(rng, n, 2.0)),
-    15: (360, 0.3, lambda rng, n: _blob(rng, n, (1.2, 1.2, 0.1))),
-    16: (360, 1.5, lambda rng, n: _blob(rng, n, (0.3, 0.3, 1.5))),
-    17: (420, 0.0, lambda rng, n: _double_plane(rng, n)),
-    18: (84, 0.0, lambda rng, n: _plane_patch(rng, n, 0.02, 2.0)),
+    2: (480, 0.0, lambda rng, n: _plane_patch(rng, n, 0.02, 2.0)),
+    3: (480, 0.0, lambda rng, n: _plane_patch(rng, n, 0.15, 2.0)),
+    4: (480, 0.0, lambda rng, n: _plane_patch(rng, n, 0.45, 2.0)),
+    5: (360, 0.5, lambda rng, n: _sphere_shell(rng, n, 0.5)),
+    6: (480, 1.5, lambda rng, n: _sphere_shell(rng, n, 1.5)),
+    7: (600, 3.0, lambda rng, n: _sphere_shell(rng, n, 3.0)),
+    8: (360, 0.0, lambda rng, n: _cylinder_shell(rng, n, 0.3, 3.0)),
+    9: (480, 0.0, lambda rng, n: _cylinder_shell(rng, n, 1.0, 3.0)),
+    10: (600, 0.0, lambda rng, n: _cylinder_shell(rng, n, 2.5, 3.0)),
+    11: (300, 2.0, lambda rng, n: _wire(rng, n, 0.02, 6.0)),
+    12: (300, 2.0, lambda rng, n: _wire(rng, n, 0.25, 6.0)),
+    13: (420, 0.8, lambda rng, n: _ball(rng, n, 0.8)),
+    14: (540, 2.0, lambda rng, n: _ball(rng, n, 2.0)),
+    15: (420, 0.3, lambda rng, n: _blob(rng, n, (1.2, 1.2, 0.1))),
+    16: (420, 1.5, lambda rng, n: _blob(rng, n, (0.3, 0.3, 1.5))),
+    17: (480, 0.0, lambda rng, n: _double_plane(rng, n, gap=0.5)),
+    18: (96, 0.0, lambda rng, n: _plane_patch(rng, n, 0.02, 2.0)),
 }
 
 NUM_SEMSEG_CLASSES = 19
@@ -150,7 +150,7 @@ def make_semseg_scene(n_points, seed, ground_frac=0.30, clutter_frac=0.02,
     rng.shuffle(class_ids)
     for (cx, cy), r, cid in zip(centers, radii, class_ids):
         base, lift, gen = _SEMSEG_SHAPES[cid]
-        n_i = max(12, int(base * 6.0 / r))  # ~1/r points per instance
+        n_i = max(24, int(base * 6.0 / r))  # ~1/r points per instance
         pts = gen(rng, n_i)
         pts = pts + np.array([cx, cy, lift])
         parts.append(pts)
@@ -257,8 +257,14 @@ class SyntheticShapes(BaseDataset):
     def save_test_result(self, results, attr):
         from os.path import join
         make_dir(self.cfg.test_result_folder)
+        pred = np.asarray(results["predict_labels"]).copy()
+        # channel space -> label space (predictions index the dense class
+        # axis with ignored labels compacted out; reference convention,
+        # ml3d/datasets/semantickitti.py:186-188)
+        for ign in self.cfg.ignored_label_inds:
+            pred[pred >= ign] += 1
         np.save(join(self.cfg.test_result_folder, attr["name"] + ".npy"),
-                np.asarray(results["predict_labels"]))
+                pred)
 
 
 # --------------------------------------------------------------------- objdet

@@ -39,22 +39,31 @@ SCALES = {
     "small": dict(num_points=4096, cloud_points=8192, max_epoch=60,
                   steps_per_epoch=24, batch_size=4, lr=8e-3, gamma=0.99,
                   num_clouds_train=16, grid_size=0.12),
-    "full": dict(num_points=45056, cloud_points=54000, max_epoch=20,
-                 steps_per_epoch=96, batch_size=4, lr=8e-3, gamma=0.97,
-                 num_clouds_train=24, grid_size=0.06),
+    "full": dict(num_points=45056, cloud_points=54000, max_epoch=50,
+                 steps_per_epoch=384, batch_size=4, lr=8e-3, gamma=0.98,
+                 num_clouds_train=96, grid_size=0.06),
 }
 
 
-def miou_from_results(results_per_cloud, test_split, num_classes):
-    """mIoU over non-ignored classes, full-cloud predictions vs labels."""
-    cm = np.zeros((num_classes, num_classes), np.int64)
+def miou_from_results(results_per_cloud, test_split, num_classes,
+                      ignored=(0,)):
+    """mIoU over non-ignored classes, full-cloud predictions vs labels.
+
+    predict_labels are CHANNEL-space (dense class axis with ignored labels
+    compacted out — the reference's run_test contract; datasets undo the
+    shift in save_test_result). Convert to label space before comparing
+    (reference rule: ml3d/datasets/semantickitti.py:186-188).
+    """
+    cm = np.zeros((num_classes + 1, num_classes + 1), np.int64)
     for cid, res in results_per_cloud.items():
         labels = test_split.dataset.get_data(cid)["label"]
-        pred = np.asarray(res["predict_labels"]).reshape(-1)
+        pred = np.asarray(res["predict_labels"]).reshape(-1).copy()
+        for ign in sorted(ignored):
+            pred[pred >= ign] += 1
         valid = labels > 0
-        idx = labels[valid] * num_classes + pred[valid]
-        cm += np.bincount(idx, minlength=num_classes**2).reshape(
-            num_classes, num_classes)
+        idx = labels[valid] * (num_classes + 1) + pred[valid]
+        cm += np.bincount(idx, minlength=(num_classes + 1)**2).reshape(
+            num_classes + 1, num_classes + 1)
     inter = np.diag(cm).astype(np.float64)
     union = cm.sum(0) + cm.sum(1) - np.diag(cm)
     present = (cm.sum(1) > 0)
@@ -76,6 +85,9 @@ def main():
     ap.add_argument("--logdir", default="./logs/accuracy_study")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (small scale)")
+    ap.add_argument("--eval-only", action="store_true",
+                    help="skip training; evaluate the latest checkpoint "
+                         "found under --logdir")
     args = ap.parse_args()
     p = SCALES[args.scale]
     if args.max_epoch is not None:
@@ -108,6 +120,7 @@ def main():
         knn_method="exact",  # train on the exact on-device pyramid
         augment={"recenter": {"dim": [0, 1]},
                  "rotate": {"method": "vertical"},
+                 "scale": {"min_s": 0.9, "max_s": 1.1},
                  "noise": {"noise_std": 0.01}})
     pipeline = SemanticSegmentation(
         model, dataset=dataset,
@@ -117,13 +130,28 @@ def main():
         main_log_dir=args.logdir, train_sum_dir=join(args.logdir, "tb"),
         num_workers=2, device="tpu")
 
-    print(f"=== training ({args.scale}: {p}) ===", flush=True)
-    pipeline.run_train()
+    if args.eval_only:
+        from open3d_ml_tpu.dataloaders import PointCloudDataloader
+        print("=== eval-only: loading latest checkpoint ===", flush=True)
+        epoch = pipeline.load_ckpt(None, is_resume=True)
+        if epoch <= 0:
+            raise SystemExit(f"no checkpoint under {args.logdir}")
+        td = dataset.get_split("test")
+        ts = PointCloudDataloader(dataset=td, preprocess=model.preprocess,
+                                  transform=model.transform,
+                                  sampler=td.sampler,
+                                  use_cache=dataset.cfg.use_cache)
+        pipeline._ensure_state_for_inference(ts, td.sampler)
+        pipeline.state = pipeline._apply_staged(pipeline.state)
+        train_miou = val_miou = float("nan")
+    else:
+        print(f"=== training ({args.scale}: {p}) ===", flush=True)
+        pipeline.run_train()
+        train_ious = pipeline.metric_train.iou()
+        val_ious = pipeline.metric_val.iou()
+        train_miou = train_ious[-1] if train_ious else 0.0
+        val_miou = val_ious[-1] if val_ious else 0.0
     train_time = time.time() - t0
-    train_ious = pipeline.metric_train.iou()
-    val_ious = pipeline.metric_val.iou()
-    train_miou = train_ious[-1] if train_ious else 0.0
-    val_miou = val_ious[-1] if val_ious else 0.0
     print(f"train mIoU {train_miou:.3f} val mIoU {val_miou:.3f} "
           f"({train_time:.0f}s)", flush=True)
 
@@ -131,8 +159,10 @@ def main():
         "scale": args.scale,
         "params": p,
         "train_seconds": round(train_time, 1),
-        "train_miou_last_epoch": round(float(train_miou), 4),
-        "val_miou_last_epoch": round(float(val_miou), 4),
+        "train_miou_last_epoch": (None if np.isnan(train_miou) else
+                                  round(float(train_miou), 4)),
+        "val_miou_last_epoch": (None if np.isnan(val_miou) else
+                                round(float(val_miou), 4)),
         "evals": {},
     }
 

@@ -54,15 +54,19 @@ def _train_semseg(tmp_path, knn_method="exact", max_epoch=16):
     return pipeline, model, dataset
 
 
-def _miou(results_per_cloud, split, num_classes):
-    cm = np.zeros((num_classes, num_classes), np.int64)
+def _miou(results_per_cloud, split, num_classes, ignored=(0,)):
+    """predict_labels are channel-space (reference run_test contract);
+    shift to label space before comparing (semantickitti.py:186-188)."""
+    k = num_classes + 1
+    cm = np.zeros((k, k), np.int64)
     for cid, res in results_per_cloud.items():
         labels = split.dataset.get_data(cid)["label"]
-        pred = np.asarray(res["predict_labels"]).reshape(-1)
+        pred = np.asarray(res["predict_labels"]).reshape(-1).copy()
+        for ign in sorted(ignored):
+            pred[pred >= ign] += 1
         valid = labels > 0
-        idx = labels[valid] * num_classes + pred[valid]
-        cm += np.bincount(idx, minlength=num_classes**2).reshape(
-            num_classes, num_classes)
+        idx = labels[valid] * k + pred[valid]
+        cm += np.bincount(idx, minlength=k * k).reshape(k, k)
     inter = np.diag(cm).astype(np.float64)
     union = cm.sum(0) + cm.sum(1) - np.diag(cm)
     present = cm.sum(1) > 0
