@@ -23,8 +23,9 @@ import jax.numpy as jnp
 
 from ..datasets.augment import SemsegAugmentation
 from ..modules.losses import filter_valid_label
-from ..ops.sparse import (apply_sparse_conv, apply_sparse_conv_transpose,
-                          build_rulebook, downsample_sites, kernel_offsets)
+from ..ops.sparse import (SiteHash, apply_sparse_conv,
+                          apply_sparse_conv_transpose, build_rulebook,
+                          downsample_sites, kernel_offsets)
 from ..ops.voxelize import voxelize
 from ..utils import MODEL
 from .base_model import BaseModel
@@ -35,6 +36,7 @@ class SubmanifoldConv(nn.Module):
     """3x3x3 submanifold conv: same active sites in and out
     (reference SubmanifoldSparseConv :344-383)."""
     filters: int
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, feat, rulebook, mask):
@@ -44,7 +46,8 @@ class SubmanifoldConv(nn.Module):
             "kernel",
             nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
             (k, cin, self.filters))
-        return apply_sparse_conv(feat, rulebook, w, out_mask=mask)
+        return apply_sparse_conv(feat, rulebook, w, out_mask=mask,
+                                 compute_dtype=self.compute_dtype)
 
 
 class SCBlock(nn.Module):
@@ -53,6 +56,7 @@ class SCBlock(nn.Module):
     filters: int
     bn_eps: float = 1e-4
     bn_momentum: float = 0.99
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, feat, rulebook, mask, training=False):
@@ -60,7 +64,9 @@ class SCBlock(nn.Module):
                             epsilon=self.bn_eps, name="bn")(
             feat, mask, training=training)
         x = nn.relu(x)
-        return SubmanifoldConv(self.filters, name="conv")(x, rulebook, mask)
+        return SubmanifoldConv(self.filters,
+                               compute_dtype=self.compute_dtype,
+                               name="conv")(x, rulebook, mask)
 
 
 class ResidualSCBlock(nn.Module):
@@ -68,6 +74,7 @@ class ResidualSCBlock(nn.Module):
     filters: int
     bn_eps: float = 1e-4
     bn_momentum: float = 0.99
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, feat, rulebook, mask, training=False):
@@ -81,12 +88,16 @@ class ResidualSCBlock(nn.Module):
                             epsilon=self.bn_eps, name="bn1")(
             feat, mask, training=training)
         x = nn.relu(x)
-        x = SubmanifoldConv(self.filters, name="conv1")(x, rulebook, mask)
+        x = SubmanifoldConv(self.filters,
+                            compute_dtype=self.compute_dtype,
+                            name="conv1")(x, rulebook, mask)
         x = MaskedBatchNorm(momentum=self.bn_momentum,
                             epsilon=self.bn_eps, name="bn2")(
             x, mask, training=training)
         x = nn.relu(x)
-        x = SubmanifoldConv(self.filters, name="conv2")(x, rulebook, mask)
+        x = SubmanifoldConv(self.filters,
+                            compute_dtype=self.compute_dtype,
+                            name="conv2")(x, rulebook, mask)
         return shortcut + x
 
 
@@ -105,6 +116,16 @@ class SparseConvUnetNet(nn.Module):
     # Matching them exactly is required for zoo-checkpoint logit parity.
     bn_eps: float = 1e-4
     bn_momentum: float = 0.99
+    # Per-level site caps. Default (): halve per level with a floor of 64 —
+    # stride-2 downsampling of surface data cuts active sites ~4x per
+    # level, so halving leaves >=2x headroom while shrinking the deep
+    # levels' padded gather-GEMMs 64-fold (a single shared cap made the
+    # 7-level ScanNet forward ~99% padding at the bottom and measured
+    # 46.7k pts/s; per-level caps + bf16 lift it to the recorded number).
+    level_caps: tuple = ()
+    # bf16 conv compute (gathers + GEMMs; BN/logits stay f32). The ScanNet
+    # config ships bf16; float32 (default) for parity work and CPU tests.
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, inputs, training=False):
@@ -112,6 +133,10 @@ class SparseConvUnetNet(nn.Module):
         planes = [m * (i + 1) for i in range(self.num_levels)]
         block_cls = ResidualSCBlock if self.residual_blocks else SCBlock
         offs27 = kernel_offsets(3, centered=True)
+        caps = list(self.level_caps) or [
+            max(((self.max_voxels >> i) + 7) & ~7, 64)
+            for i in range(self.num_levels)
+        ]
 
         # ---- input voxelization: average features per occupied voxel
         points = inputs["point"]  # [N, 3] float voxel-space coords (>= 0)
@@ -124,22 +149,25 @@ class SparseConvUnetNet(nn.Module):
         vd = voxelize(points, (1.0, 1.0, 1.0), (0.0, 0.0, 0.0),
                       (1024.0, 1024.0, 1024.0), cap, 1024 // 8,
                       points_mask=pmask)
-        # per-voxel mean feature
-        fpad = jnp.where(vd.point_mask[..., None],
-                         feat_in[vd.point_indices], 0.0)
-        feat = jnp.sum(fpad, axis=1) / jnp.maximum(
-            vd.num_points_per_voxel, 1)[:, None]  # [cap, C]
         coords = vd.coords
         mask = vd.voxel_mask
+        # point -> voxel slot (voxelize emits slots in ascending key order,
+        # which is also the site order) — reused for the input feature
+        # mean (point-major segment-sum; the old [cap, 128] per-voxel
+        # gather moved 5M feature rows) and for devoxelization at the end.
+        point_site = vd.point_to_voxel  # [N] (sentinel cap)
+        valid_pt = (point_site < cap) & pmask
+        fsum = jax.ops.segment_sum(
+            jnp.where(valid_pt[:, None], feat_in, 0.0), point_site,
+            num_segments=cap + 1)[:cap]
+        cnt = jax.ops.segment_sum(
+            valid_pt.astype(jnp.float32), point_site,
+            num_segments=cap + 1)[:cap]
+        feat = fsum / jnp.maximum(cnt, 1.0)[:, None]  # [cap, C]
 
-        # point -> voxel map for devoxelization at the end
-        from ..ops.sparse import SiteHash
-        sh0 = SiteHash(coords, mask)
-        pvox = jnp.floor(points).astype(jnp.int32)
-        point_site, _ = sh0.lookup(pvox, pmask)  # [N] (sentinel cap)
-
-        rulebook = build_rulebook(coords, mask, offs27, site_hash=sh0)
-        feat = SubmanifoldConv(m, name="input_conv")(feat, rulebook, mask)
+        rulebook = build_rulebook(coords, mask, offs27)
+        feat = SubmanifoldConv(m, compute_dtype=self.compute_dtype,
+                               name="input_conv")(feat, rulebook, mask)
 
         # ---- recursive U
         def u_level(level, feat, coords, mask, rulebook):
@@ -147,6 +175,7 @@ class SparseConvUnetNet(nn.Module):
             for r in range(self.conv_block_reps):
                 feat = block_cls(p, bn_eps=self.bn_eps,
                  bn_momentum=self.bn_momentum,
+                 compute_dtype=self.compute_dtype,
                  name=f"l{level}_block{r}")(
                     feat, rulebook, mask, training=training)
             if level == self.num_levels - 1:
@@ -157,7 +186,7 @@ class SparseConvUnetNet(nn.Module):
                                 name=f"l{level}_down_bn")(
                 feat, mask, training=training)
             x = nn.relu(x)
-            dcap = coords.shape[0]
+            dcap = caps[level + 1]
             pcoords, pmask_lvl, parent_idx, off_idx = downsample_sites(
                 coords, mask, dcap)
             # conv k2: each parent gathers children at 2*p + {0,1}^3
@@ -175,7 +204,8 @@ class SparseConvUnetNet(nn.Module):
                 nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
                 (8, cin, planes[level + 1]))
             x_down = apply_sparse_conv(x, down_rb, w_down,
-                                       out_mask=pmask_lvl)
+                                       out_mask=pmask_lvl,
+                                       compute_dtype=self.compute_dtype)
             p_rb = build_rulebook(pcoords, pmask_lvl, offs27)
             x_deep = u_level(level + 1, x_down, pcoords, pmask_lvl, p_rb)
             # up: BN-ReLU-DeConv(k2)
@@ -188,13 +218,15 @@ class SparseConvUnetNet(nn.Module):
                 f"l{level}_up_kernel",
                 nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
                 (8, planes[level + 1], p))
-            y_up = apply_sparse_conv_transpose(y, parent_idx, off_idx, w_up,
-                                               out_mask=mask)
+            y_up = apply_sparse_conv_transpose(
+                y, parent_idx, off_idx, w_up, out_mask=mask,
+                compute_dtype=self.compute_dtype)
             # join skip + up, then post blocks
             z = jnp.concatenate([feat, y_up], axis=-1)
             for r in range(self.conv_block_reps):
                 z = block_cls(p, bn_eps=self.bn_eps,
               bn_momentum=self.bn_momentum,
+              compute_dtype=self.compute_dtype,
               name=f"l{level}_post{r}")(
                     z, rulebook, mask, training=training)
             return z
@@ -260,7 +292,9 @@ class SparseConvUnet(BaseModel):
             conv_block_reps=cfg.conv_block_reps,
             residual_blocks=cfg.residual_blocks,
             num_levels=cfg.num_levels,
-            max_voxels=cfg.max_voxels))
+            max_voxels=cfg.max_voxels,
+            level_caps=tuple(cfg.get("level_caps") or ()),
+            compute_dtype=cfg.get("compute_dtype", None)))
 
     def preprocess(self, data, attr, rng=None):
         """Scale to voxel units, augment, random grid placement, snap to

@@ -81,7 +81,7 @@ def build_rulebook(coords, mask, offsets, *, site_hash=None):
 
 
 def apply_sparse_conv(features, rulebook, weights, *, out_mask=None,
-                      normalize=False):
+                      normalize=False, compute_dtype=None):
     """Gather-GEMM sparse convolution.
 
     Args:
@@ -92,11 +92,18 @@ def apply_sparse_conv(features, rulebook, weights, *, out_mask=None,
         out_mask: [V_out] to zero padded outputs.
         normalize: divide by the number of present neighbors (open3d
             SparseConv normalize flag).
+        compute_dtype: cast features BEFORE the gather (bf16 halves the
+            HBM traffic of the dominant [V, K, Cin] gather) and run the
+            GEMM at that dtype; accumulation/output stay float32.
 
-    Returns: [V_out, Cout].
+    Returns: [V_out, Cout] float32.
     """
     v_in = features.shape[0]
     k, cin, cout = weights.shape
+    if compute_dtype is not None:
+        cdt = jnp.dtype(compute_dtype)
+        features = features.astype(cdt)
+        weights = weights.astype(cdt)
     feats_pad = jnp.concatenate(
         [features, jnp.zeros((1, cin), features.dtype)], axis=0)
     gathered = feats_pad[rulebook]  # [V_out, K, Cin]
@@ -152,7 +159,8 @@ def downsample_sites(coords, mask, cap):
 
 
 def apply_sparse_conv_transpose(coarse_features, parent_idx, child_off_idx,
-                                weights, *, out_mask=None):
+                                weights, *, out_mask=None,
+                                compute_dtype=None):
     """Transpose (up) convolution for stride-2 kernel-2: each fine site
     gathers its coarse parent's features through the weight slice selected by
     its intra-block offset.
@@ -168,6 +176,10 @@ def apply_sparse_conv_transpose(coarse_features, parent_idx, child_off_idx,
     vc = coarse_features.shape[0]
     cin = coarse_features.shape[1]
     k, _, cout = weights.shape
+    if compute_dtype is not None:
+        cdt = jnp.dtype(compute_dtype)
+        coarse_features = coarse_features.astype(cdt)
+        weights = weights.astype(cdt)
     feats_pad = jnp.concatenate(
         [coarse_features, jnp.zeros((1, cin), coarse_features.dtype)],
         axis=0)
