@@ -81,6 +81,10 @@ def main():
     ap.add_argument("--out", default="accuracy_study.json")
     ap.add_argument("--num-segs", type=int, nargs="+",
                     default=[4, 6, 8, 12, 16])
+    ap.add_argument("--seg", type=int, default=None,
+                    help="fused-path Morton segment size override")
+    ap.add_argument("--qblock", type=int, default=None,
+                    help="fused-path query-block size override")
     ap.add_argument("--max-epoch", type=int, default=None)
     ap.add_argument("--logdir", default="./logs/accuracy_study")
     ap.add_argument("--cpu", action="store_true",
@@ -175,6 +179,10 @@ def main():
         model.cfg.cfg_dict["eval_knn_method"] = method
         if segs is not None:
             model.cfg.cfg_dict["num_segs"] = segs
+        if args.seg:
+            model.cfg.cfg_dict["seg"] = args.seg
+        if args.qblock:
+            model.cfg.cfg_dict["block"] = args.qblock
         t1 = time.time()
         test_split = PointCloudDataloader(
             dataset=test_dataset,
@@ -185,6 +193,9 @@ def main():
                                              test_dataset.sampler)
         miou, per_class = miou_from_results(results, test_split, 19)
         key = method if segs is None else f"{method}_S{segs}"
+        if segs is not None and (args.seg or args.qblock):
+            key += f"_seg{args.seg or p.get('seg', 128)}" \
+                   f"_qb{args.qblock or p.get('block', 128)}"
         if method == "exact":
             exact_miou = miou
         delta = None if exact_miou is None else \
