@@ -146,6 +146,22 @@ def _knn_xla(points, queries, seg_ids, k, seg, qblock):
     return rel[:, :q], d2[:, :q]
 
 
+# The whole scalar-prefetch operand lives in SMEM (~1 MB). Above this
+# budget the call is split over the batch axis (B single-sample calls),
+# keeping each call's [nqb*S] int32 table within limits. Observed hard
+# limit on v5e: 1,048,576 bytes ("prefetched SMEM operand").
+_SMEM_PREFETCH_BUDGET = 768 * 1024
+
+
+def _split_batch(fn, b):
+    """Run fn(i) for each batch index and stack the (tuple of) results."""
+    outs = [fn(i) for i in range(b)]
+    if isinstance(outs[0], tuple):
+        return tuple(jnp.concatenate([o[j] for o in outs])
+                     for j in range(len(outs[0])))
+    return jnp.concatenate(outs)
+
+
 def knn_pallas(points, queries, seg_ids, k, *, seg=128, qblock=128,
                interpret=False):
     """Exact KNN of each query inside its block's candidate table.
@@ -168,6 +184,12 @@ def knn_pallas(points, queries, seg_ids, k, *, seg=128, qblock=128,
     _, nqb, s = seg_ids.shape
     table = s * seg
     assert n % seg == 0, "pad points to a multiple of seg"
+
+    if b > 1 and b * nqb * s * 4 > _SMEM_PREFETCH_BUDGET:
+        return _split_batch(
+            lambda i: knn_pallas(points[i:i + 1], queries[i:i + 1],
+                                 seg_ids[i:i + 1], k, seg=seg,
+                                 qblock=qblock, interpret=interpret), b)
 
     pts = points if d == 4 else jnp.pad(points, ((0, 0), (0, 0), (0, 1)))
     qpad = (-q) % qblock
@@ -258,6 +280,12 @@ def _gather_fwd_impl(values, seg_ids, rel, seg, qblock, compute_dtype,
         bidx = jnp.arange(b)[:, None, None]
         glob = seg_ids[bidx, blk, rel // seg] * seg + rel % seg
         return values[bidx, glob]
+    if b > 1 and b * nqb * s * 4 > _SMEM_PREFETCH_BUDGET:
+        return _split_batch(
+            lambda i: _gather_fwd_impl(values[i:i + 1], seg_ids[i:i + 1],
+                                       rel[i:i + 1], seg, qblock,
+                                       compute_dtype, interpret), b)
+
     qpad = (-q) % qblock
     relp = jnp.pad(rel, ((0, 0), (0, qpad), (0, 0))) if qpad else rel
 

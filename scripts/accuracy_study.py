@@ -85,6 +85,10 @@ def main():
                     help="fused-path Morton segment size override")
     ap.add_argument("--qblock", type=int, default=None,
                     help="fused-path query-block size override")
+    ap.add_argument("--fused", action="append", default=None,
+                    metavar="SEG,QBLOCK,S",
+                    help="evaluate a full fused config triple (repeatable); "
+                         "replaces the --num-segs sweep when given")
     ap.add_argument("--max-epoch", type=int, default=None)
     ap.add_argument("--logdir", default="./logs/accuracy_study")
     ap.add_argument("--cpu", action="store_true",
@@ -173,11 +177,22 @@ def main():
     # --- evaluate the SAME weights through each neighbor path -----------
     test_dataset = dataset.get_split("test")
     from open3d_ml_tpu.dataloaders import PointCloudDataloader
-    configs = [("exact", None)] + [("fused", s) for s in args.num_segs]
+    if args.fused:
+        # explicit (seg, qblock, S) triples
+        configs = [("exact", None)] + [
+            ("fused", tuple(int(x) for x in t.split(",")))
+            for t in args.fused
+        ]
+    else:
+        configs = [("exact", None)] + [("fused", s) for s in args.num_segs]
     exact_miou = None
     for method, segs in configs:
         model.cfg.cfg_dict["eval_knn_method"] = method
-        if segs is not None:
+        if isinstance(segs, tuple):
+            model.cfg.cfg_dict["seg"] = segs[0]
+            model.cfg.cfg_dict["block"] = segs[1]
+            model.cfg.cfg_dict["num_segs"] = segs[2]
+        elif segs is not None:
             model.cfg.cfg_dict["num_segs"] = segs
         if args.seg:
             model.cfg.cfg_dict["seg"] = args.seg
@@ -192,10 +207,13 @@ def main():
         results = pipeline.run_test_on_split(test_split,
                                              test_dataset.sampler)
         miou, per_class = miou_from_results(results, test_split, 19)
-        key = method if segs is None else f"{method}_S{segs}"
-        if segs is not None and (args.seg or args.qblock):
-            key += f"_seg{args.seg or p.get('seg', 128)}" \
-                   f"_qb{args.qblock or p.get('block', 128)}"
+        if isinstance(segs, tuple):
+            key = f"{method}_seg{segs[0]}_qb{segs[1]}_S{segs[2]}"
+        else:
+            key = method if segs is None else f"{method}_S{segs}"
+            if segs is not None and (args.seg or args.qblock):
+                key += f"_seg{args.seg or p.get('seg', 128)}" \
+                       f"_qb{args.qblock or p.get('block', 128)}"
         if method == "exact":
             exact_miou = miou
         delta = None if exact_miou is None else \
