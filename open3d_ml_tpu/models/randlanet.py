@@ -86,6 +86,10 @@ class _BucketLevel:
         self.nbr_rel = pyr["nbr_rel"][i]
         self.pool_seg_ids = pyr["pool_seg_ids"][i]
         self.pool_rel = pyr["pool_rel"][i]
+        # pool neighbors may be reused nbr rows (stride slice), whose block
+        # structure is qblock/ratio pool queries per fine-block table
+        self.pool_qblock = pyr.get("pool_qblock", [qblock] *
+                                   len(pyr["pool_rel"]))[i]
         self.up_seg_ids = pyr["up_seg_ids"][i]
         self.up_rel = pyr["up_rel"][i]
 
@@ -97,7 +101,7 @@ class _BucketLevel:
 
     def pool_max(self, v):
         g = self._gp(self._pad(v, self.seg), self.pool_seg_ids,
-                     self.pool_rel, self.seg, self.qblock, self.dtype,
+                     self.pool_rel, self.seg, self.pool_qblock, self.dtype,
                      self.interpret)
         return jnp.max(g, axis=-2)
 

@@ -285,8 +285,8 @@ def build_bucket_pyramid_tpu(points, k, sub_ratios, *, seg=128, qblock=128,
         pc = jnp.take_along_axis(points, perm[..., None], axis=1)
 
     out = {"perm": perm, "coords": [], "nbr_seg_ids": [], "nbr_rel": [],
-           "pool_seg_ids": [], "pool_rel": [], "up_seg_ids": [],
-           "up_rel": []}
+           "pool_seg_ids": [], "pool_rel": [], "pool_qblock": [],
+           "up_seg_ids": [], "up_rel": []}
     for ratio in sub_ratios:
         n = pc.shape[1]
         s_here = min(num_segs, -(-n // seg))
@@ -296,10 +296,21 @@ def build_bucket_pyramid_tpu(points, k, sub_ratios, *, seg=128, qblock=128,
         rel, _ = knn_pallas(pcp, pc, sids, k, seg=seg, qblock=qblock,
                             interpret=interpret)
         sub = pc[:, ::ratio][:, :n // ratio]
-        psids = select_segments(pc, sub, seg=seg, qblock=qblock,
-                                num_segs=s_here)
-        prel, _ = knn_pallas(pcp, sub, psids, k, seg=seg, qblock=qblock,
-                             interpret=interpret)
+        if qblock % ratio == 0 and n % qblock == 0:
+            # The sub points ARE rows of pc (stride slice), so their k-NN
+            # among pc are already in `rel`: reuse rows ::ratio against the
+            # SAME per-block tables. Each pool query block of
+            # qblock/ratio sub points spans exactly one fine block, so
+            # seg_ids line up row-for-row — the pool search (a full
+            # selection + table KNN per level) disappears.
+            psids, prel = sids, rel[:, ::ratio]
+            pool_qb = qblock // ratio
+        else:
+            psids = select_segments(pc, sub, seg=seg, qblock=qblock,
+                                    num_segs=s_here)
+            prel, _ = knn_pallas(pcp, sub, psids, k, seg=seg,
+                                 qblock=qblock, interpret=interpret)
+            pool_qb = qblock
         s_up = min(max(2, num_segs // 2), -(-sub.shape[1] // seg))
         subp = _pad_seg(sub, seg, fill=1e9)
         usids = select_segments(sub, pc, seg=seg, qblock=qblock,
@@ -311,6 +322,7 @@ def build_bucket_pyramid_tpu(points, k, sub_ratios, *, seg=128, qblock=128,
         out["nbr_rel"].append(rel)
         out["pool_seg_ids"].append(psids)
         out["pool_rel"].append(prel)
+        out["pool_qblock"].append(pool_qb)
         out["up_seg_ids"].append(usids)
         out["up_rel"].append(urel)
         pc = sub

@@ -247,6 +247,29 @@ def _gather_kernel(sref, rel_ref, *args, k, s, c, compute_dtype):
         out_ref[0, :, kk * c:(kk + 1) * c] = out.astype(out_ref.dtype)
 
 
+def _gather_flat_kernel(sref, rel_ref, *args, k, s, c, compute_dtype):
+    """One-hot gather with k FLATTENED into the matmul M dim: ONE
+    [qb*k, table] x [table, C] matmul per block (full 128-row MXU tiles)
+    instead of k separate [qb, table] matmuls whose M=qb rows waste the
+    systolic array whenever qblock < 128. Output rows are (query-major,
+    k-minor) — the caller reshapes [Q*k, C] -> [Q, k, C] outside."""
+    tabs, out_ref = args[:s], args[s]
+    tab = jnp.concatenate([t[0] for t in tabs],
+                          axis=0).astype(compute_dtype)  # [table, C]
+    rel = rel_ref[0]  # [qb, K]
+    qb = rel.shape[0]
+    table = tab.shape[0]
+    iota3 = jax.lax.broadcasted_iota(jnp.int32, (qb, k, table), 2)
+    oh = (iota3 == rel[:, :, None]).astype(compute_dtype)
+    prec = (jax.lax.Precision.HIGHEST
+            if compute_dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+    out_ref[0] = jax.lax.dot_general(
+        oh.reshape(qb * k, table), tab,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=prec,
+        preferred_element_type=jnp.float32)  # [qb*k, C]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def gather_pallas(values, seg_ids, rel, seg=128, qblock=128,
                   compute_dtype=jnp.bfloat16, interpret=False):
@@ -288,10 +311,35 @@ def _gather_fwd_impl(values, seg_ids, rel, seg, qblock, compute_dtype,
 
     qpad = (-q) % qblock
     relp = jnp.pad(rel, ((0, 0), (0, qpad), (0, 0))) if qpad else rel
+    seg_ids_flat = seg_ids.reshape(b, nqb * s)
+
+    # Flattened variant when qblock underfills the MXU's 128-row tiles and
+    # the [qb*k, table] one-hot fits comfortably in VMEM.
+    oh_bytes = qblock * k * s * seg * (2 if compute_dtype == jnp.bfloat16
+                                       else 4)
+    if qblock < 128 and oh_bytes <= 4 * 1024 * 1024:
+        kern = functools.partial(_gather_flat_kernel, k=k, s=s, c=c,
+                                 compute_dtype=compute_dtype)
+        out = pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(b, nqb),
+                in_specs=[pl.BlockSpec((1, qblock, k),
+                                       lambda ib, iq, sref: (ib, iq, 0),
+                                       memory_space=pltpu.VMEM)] +
+                _seg_specs(s, seg, c),
+                out_specs=pl.BlockSpec((1, qblock * k, c),
+                                       lambda ib, iq, sref: (ib, iq, 0),
+                                       memory_space=pltpu.VMEM)),
+            out_shape=jax.ShapeDtypeStruct((b, (q + qpad) * k, c),
+                                           jnp.float32),
+            interpret=interpret,
+        )(seg_ids_flat, relp, *([values] * s))
+        return out.reshape(b, q + qpad, k, c)[:, :q]
 
     kern = functools.partial(_gather_kernel, k=k, s=s, c=c,
                              compute_dtype=compute_dtype)
-    seg_ids_flat = seg_ids.reshape(b, nqb * s)
     out = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -338,6 +386,25 @@ def _gather_bwd_kernel(rel_ref, g_ref, out_ref, *, k, c, table,
     out_ref[0] = acc
 
 
+def _gather_bwd_flat_kernel(rel_ref, g_ref, out_ref, *, k, c, table,
+                            compute_dtype):
+    """Flattened backward: ONE [qb*k, table]^T x [qb*k, C] matmul per block
+    (contraction dim qb*k fills the MXU even at small qblock). g is shipped
+    pre-reshaped to [Qpad*k, C] rows (query-major, k-minor)."""
+    rel = rel_ref[0]                                   # [qb, K]
+    qb = rel.shape[0]
+    iota3 = jax.lax.broadcasted_iota(jnp.int32, (qb, k, table), 2)
+    oh = (iota3 == rel[:, :, None]).astype(compute_dtype)
+    prec = (jax.lax.Precision.HIGHEST
+            if compute_dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+    gk = g_ref[0].astype(compute_dtype)                # [qb*k, C]
+    out_ref[0] = jax.lax.dot_general(
+        oh.reshape(qb * k, table), gk,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=prec,
+        preferred_element_type=jnp.float32)            # [table, C]
+
+
 def _gather_bwd(seg, qblock, compute_dtype, interpret, res, g):
     """Backward: accumulate cotangents into the gathered value rows.
 
@@ -363,25 +430,50 @@ def _gather_bwd(seg, qblock, compute_dtype, interpret, res, g):
 
     qpad = (-q) % qblock
     relp = jnp.pad(rel, ((0, 0), (0, qpad), (0, 0))) if qpad else rel
-    gp = g.reshape(b, q, k * c)
-    if qpad:  # padded queries contribute zero
-        gp = jnp.pad(gp, ((0, 0), (0, qpad), (0, 0)))
 
-    kern = functools.partial(_gather_bwd_kernel, k=k, c=c, table=table,
-                             compute_dtype=compute_dtype)
-    partial = pl.pallas_call(
-        kern,
-        grid=(b, nqb),
-        in_specs=[
-            pl.BlockSpec((1, qblock, k), lambda ib, iq: (ib, iq, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, qblock, k * c), lambda ib, iq: (ib, iq, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, table, c), lambda ib, iq: (ib, iq, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, nqb * table, c), jnp.float32),
-    )(relp, gp)
+    oh_bytes = qblock * k * table * (2 if compute_dtype == jnp.bfloat16
+                                     else 4)
+    if qblock < 128 and oh_bytes <= 4 * 1024 * 1024:
+        gp = g.reshape(b, q * k, c)
+        if qpad:  # padded queries contribute zero
+            gp = jnp.pad(gp, ((0, 0), (0, qpad * k), (0, 0)))
+        kern = functools.partial(_gather_bwd_flat_kernel, k=k, c=c,
+                                 table=table, compute_dtype=compute_dtype)
+        partial = pl.pallas_call(
+            kern,
+            grid=(b, nqb),
+            in_specs=[
+                pl.BlockSpec((1, qblock, k), lambda ib, iq: (ib, iq, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, qblock * k, c), lambda ib, iq: (ib, iq, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, table, c),
+                                   lambda ib, iq: (ib, iq, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, nqb * table, c),
+                                           jnp.float32),
+        )(relp, gp)
+    else:
+        gp = g.reshape(b, q, k * c)
+        if qpad:  # padded queries contribute zero
+            gp = jnp.pad(gp, ((0, 0), (0, qpad), (0, 0)))
+        kern = functools.partial(_gather_bwd_kernel, k=k, c=c, table=table,
+                                 compute_dtype=compute_dtype)
+        partial = pl.pallas_call(
+            kern,
+            grid=(b, nqb),
+            in_specs=[
+                pl.BlockSpec((1, qblock, k), lambda ib, iq: (ib, iq, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, qblock, k * c), lambda ib, iq: (ib, iq, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, table, c),
+                                   lambda ib, iq: (ib, iq, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, nqb * table, c), jnp.float32),
+        )(relp, gp)
 
     # reduce partials into value rows: one scatter-add of nqb*S contiguous
     # [seg, C] chunks per sample (latency ~nqb*S rows, not Q*K)
