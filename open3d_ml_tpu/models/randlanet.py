@@ -261,7 +261,10 @@ class RandLANetNet(nn.Module):
     seg: int = 128            # fused path: points per Morton segment
     block: int = 128          # fused path: queries per block
     num_segs: int = 8         # fused path: candidate segments per block
-    presorted: bool = False   # True if the host already Morton-sorted
+    gather_segs: int = 0      # fused path: compact gather tables to S' slots
+    up_segs: int = 0          # fused path: upsample (1-NN) table cap
+    presorted: bool = False   # True if the host already curve-sorted
+                              # (ops/bucket.morton_sort order, Hilbert)
     compute_dtype: str = "bfloat16"  # fused-path MLP compute dtype
 
     def _build_levels(self, inputs):
@@ -282,6 +285,7 @@ class RandLANetNet(nn.Module):
                 inputs["coords"], self.num_neighbors,
                 list(self.sub_sampling_ratio), seg=self.seg,
                 qblock=self.block, num_segs=self.num_segs,
+                gather_segs=self.gather_segs, up_segs=self.up_segs,
                 presorted=self.presorted, interpret=interpret)
             levels = [
                 _BucketLevel(pyr["coords"][i], pyr, i, self.seg, self.block,
@@ -454,6 +458,8 @@ class RandLANet(BaseModel):
                  seg=128,
                  block=128,
                  num_segs=8,
+                 gather_segs=0,
+                 up_segs=0,
                  presorted=False,
                  compute_dtype="bfloat16",
                  augment={},
@@ -477,6 +483,8 @@ class RandLANet(BaseModel):
                          seg=seg,
                          block=block,
                          num_segs=num_segs,
+                         gather_segs=gather_segs,
+                         up_segs=up_segs,
                          presorted=presorted,
                          compute_dtype=compute_dtype,
                          augment=augment,
@@ -501,6 +509,8 @@ class RandLANet(BaseModel):
             seg=cfg.seg,
             block=cfg.block,
             num_segs=cfg.num_segs,
+            gather_segs=getattr(cfg, "gather_segs", 0),
+            up_segs=getattr(cfg, "up_segs", 0),
             presorted=cfg.presorted,
             compute_dtype=cfg.compute_dtype)
         return BatchedNet(net=single)

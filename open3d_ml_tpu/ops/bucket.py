@@ -42,15 +42,22 @@ density; this measures ~1.0).
 import jax
 import jax.numpy as jnp
 
-from .morton import morton_codes
+from .morton import hilbert_codes, morton_codes
 
 
-def morton_sort(points, valid=None):
-    """Morton-sort a cloud; returns (perm [N] int32, sorted_points).
+def morton_sort(points, valid=None, curve="hilbert"):
+    """Space-filling-curve sort; returns (perm [N] int32, sorted_points).
 
     perm maps sorted position -> original index (sorted = points[perm]).
+    curve "hilbert" (default) or "morton": Hilbert ordering has no Z-seam
+    jumps, so consecutive runs of sorted points scatter their true k-NN
+    over ~20-25% fewer segments (ops/morton.py hilbert_codes docstring) —
+    the candidate tables downstream can be narrower at equal recall. The
+    name keeps the historical "morton_sort" spelling used throughout the
+    bucket path; both curves share the segment/block machinery.
     """
-    codes = morton_codes(points, valid)
+    fn = hilbert_codes if curve == "hilbert" else morton_codes
+    codes = fn(points, valid)
     perm = jnp.argsort(codes).astype(jnp.int32)
     return perm, points[perm]
 
@@ -84,6 +91,11 @@ def _rank_segments(pts, qs, seg, qblock, num_segs, points_mask=None, sub=4):
     segments every sub-block ranks worse. Dense blocks (sub-blocks agree)
     get the plain top-S; sparse blocks (sub-blocks diverge) are guaranteed
     ~S/sub closest segments per sub-block.
+
+    The returned table is ordered BEST RANK FIRST — the leading slots hold
+    the segments closest to the block, which concentrates most of every
+    query's true neighbors at the front. knn_pallas' two-tier extraction
+    (tier1/tier_m) exploits exactly this ordering.
 
     pts [N, 3] / qs [Q, 3] Morton-sorted float32. Returns [nqb, S] int32.
     """
@@ -241,7 +253,7 @@ def gather_bucket_max(values, seg_ids, rel_idx, *, seg=256, qblock=256):
 
 def select_segments(points, queries, *, seg=256, qblock=256, num_segs=8):
     """Batched XLA selection stage: the top-S candidate segments per query
-    block, per-sub-block ranked (see _rank_segments).
+    block, per-sub-block ranked and ordered best-first (see _rank_segments).
 
     Args:
         points: [B, N, 3] Morton-sorted.
@@ -256,6 +268,66 @@ def select_segments(points, queries, *, seg=256, qblock=256, num_segs=8):
     return jax.vmap(one)(points, queries)
 
 
+def compact_tables(seg_ids, rel, gather_segs, *, seg, qblock):
+    """Shrink per-block candidate tables to the slots the KNN actually hit.
+
+    The search needs a WIDE table (high S) for recall, but the model's
+    gathers pay for table width in every one-hot matmul. After the search,
+    each block's queries reference at most qblock*k distinct points whose
+    segments concentrate in a few slots — keep the top ``gather_segs``
+    slots by hit count and remap rel into the compact table. Neighbors in
+    dropped slots (the tail of the hit histogram) are replaced by that
+    query's nearest neighbor — a duplicate, which max/attention pooling
+    absorbs.
+
+    All steps lower to MXU matmuls / elementwise ops — no scatters, no
+    row gathers (hit counting and the inverse-slot lookup ride the same
+    one-hot tensor).
+
+    Args:
+        seg_ids: [B, nqb, S] int32 search tables.
+        rel: [B, Q, k] int32 indices into the S*seg table, rel[..., 0]
+            being each query's nearest neighbor.
+        gather_segs: S' — slots to keep per block.
+
+    Returns (new_seg_ids [B, nqb, S'], new_rel [B, Q, k]).
+    """
+    b, nqb, s = seg_ids.shape
+    _, q, k = rel.shape
+    sp = min(gather_segs, s)
+    qpad = (-q) % qblock
+    relp = jnp.pad(rel, ((0, 0), (0, qpad), (0, 0))) if qpad else rel
+    slot = (relp // seg).reshape(b, nqb, qblock * k)    # [B, nqb, E]
+    oh = jax.nn.one_hot(slot, s, dtype=jnp.float32)     # [B, nqb, E, S]
+    hist = jnp.sum(oh, axis=2)                          # [B, nqb, S]
+    # top-S' slots by hits; ties resolved toward lower slots (the
+    # selection stage already ranked those better)
+    bias = jnp.arange(s, dtype=jnp.float32) * 1e-3
+    _, keep = jax.lax.top_k(hist - bias, sp)            # [B, nqb, S']
+    keep = keep.astype(jnp.int32)
+    new_sids = jnp.take_along_axis(seg_ids, keep, axis=2)
+    # inverse slot map (old slot -> compact slot, -1 = dropped), via
+    # comparisons — tiny [B, nqb, S, S'] tensor, no scatter
+    eq = keep[:, :, None, :] == jnp.arange(s, dtype=jnp.int32)[None, None,
+                                                               :, None]
+    inv = jnp.where(jnp.any(eq, -1), jnp.argmax(eq, -1),
+                    -1).astype(jnp.float32)             # [B, nqb, S]
+    # per-entry new slot: one matvec against the SAME one-hot (exactly one
+    # slot matches per entry) instead of a 2.9M-row gather
+    new_slot = jnp.einsum("bqes,bqs->bqe", oh, inv).astype(jnp.int32)
+    new_rel = new_slot * seg + relp.reshape(b, nqb, qblock * k) % seg
+    new_rel = new_rel.reshape(b, nqb * qblock, k)
+    # dropped neighbors -> duplicate the query's NEAREST KEPT neighbor
+    # (entries are distance-ascending; argmax finds the first kept one).
+    # A query whose every neighbor slot was dropped cannot happen unless
+    # G < k/seg-duplicates, but guard with max(fb, 0) anyway.
+    first_kept = jnp.argmax(new_rel >= 0, axis=-1)
+    fb = jnp.maximum(
+        jnp.take_along_axis(new_rel, first_kept[..., None], axis=-1), 0)
+    new_rel = jnp.where(new_rel < 0, fb, new_rel)
+    return new_sids, new_rel[:, :q]
+
+
 def _pad_seg(x, seg, fill=0.0):
     """Pad rows of [B, N, C] up to a multiple of seg with `fill`."""
     n = x.shape[1]
@@ -266,11 +338,19 @@ def _pad_seg(x, seg, fill=0.0):
 
 
 def build_bucket_pyramid_tpu(points, k, sub_ratios, *, seg=128, qblock=128,
-                             num_segs=8, presorted=False, interpret=False):
+                             num_segs=8, gather_segs=0, up_segs=0,
+                             presorted=False, interpret=False):
     """Batched, Pallas-backed KNN/pool/upsample pyramid (the fast path).
 
     Same contract as build_bucket_pyramid but over a [B, N, 3] batch, with
     the table search running in the Pallas kernel (ops/pallas/bucket.py).
+
+    gather_segs > 0 decouples SEARCH recall from GATHER cost: the KNN
+    searches the wide num_segs-slot table, then compact_tables() shrinks
+    each block's table to the gather_segs slots its neighbors actually
+    occupy, so the model's one-hot gathers run at the narrow width.
+    up_segs > 0 caps the upsample (1-NN) search table.
+
     Returns dict of per-level lists plus perm [B, N].
     """
     from .pallas.bucket import knn_pallas
@@ -295,6 +375,9 @@ def build_bucket_pyramid_tpu(points, k, sub_ratios, *, seg=128, qblock=128,
                                num_segs=s_here)
         rel, _ = knn_pallas(pcp, pc, sids, k, seg=seg, qblock=qblock,
                             interpret=interpret)
+        if gather_segs and gather_segs < s_here:
+            sids, rel = compact_tables(sids, rel, gather_segs, seg=seg,
+                                       qblock=qblock)
         sub = pc[:, ::ratio][:, :n // ratio]
         if qblock % ratio == 0 and n % qblock == 0:
             # The sub points ARE rows of pc (stride slice), so their k-NN
@@ -311,7 +394,8 @@ def build_bucket_pyramid_tpu(points, k, sub_ratios, *, seg=128, qblock=128,
             prel, _ = knn_pallas(pcp, sub, psids, k, seg=seg,
                                  qblock=qblock, interpret=interpret)
             pool_qb = qblock
-        s_up = min(max(2, num_segs // 2), -(-sub.shape[1] // seg))
+        s_up = min(up_segs or max(2, num_segs // 2),
+                   max(2, num_segs // 2), -(-sub.shape[1] // seg))
         subp = _pad_seg(sub, seg, fill=1e9)
         usids = select_segments(sub, pc, seg=seg, qblock=qblock,
                                 num_segs=s_up)

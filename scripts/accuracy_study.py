@@ -86,8 +86,9 @@ def main():
     ap.add_argument("--qblock", type=int, default=None,
                     help="fused-path query-block size override")
     ap.add_argument("--fused", action="append", default=None,
-                    metavar="SEG,QBLOCK,S",
-                    help="evaluate a full fused config triple (repeatable); "
+                    metavar="SEG,QBLOCK,S[,G[,U]]",
+                    help="evaluate a full fused config (repeatable); "
+                         "G = gather_segs table compaction, U = up_segs; "
                          "replaces the --num-segs sweep when given")
     ap.add_argument("--max-epoch", type=int, default=None)
     ap.add_argument("--logdir", default="./logs/accuracy_study")
@@ -192,6 +193,9 @@ def main():
             model.cfg.cfg_dict["seg"] = segs[0]
             model.cfg.cfg_dict["block"] = segs[1]
             model.cfg.cfg_dict["num_segs"] = segs[2]
+            model.cfg.cfg_dict["gather_segs"] = (segs[3] if len(segs) > 3
+                                                 else 0)
+            model.cfg.cfg_dict["up_segs"] = segs[4] if len(segs) > 4 else 0
         elif segs is not None:
             model.cfg.cfg_dict["num_segs"] = segs
         if args.seg:
@@ -209,6 +213,10 @@ def main():
         miou, per_class = miou_from_results(results, test_split, 19)
         if isinstance(segs, tuple):
             key = f"{method}_seg{segs[0]}_qb{segs[1]}_S{segs[2]}"
+            if len(segs) > 3 and segs[3]:
+                key += f"_G{segs[3]}"
+            if len(segs) > 4 and segs[4]:
+                key += f"_U{segs[4]}"
         else:
             key = method if segs is None else f"{method}_S{segs}"
             if segs is not None and (args.seg or args.qblock):

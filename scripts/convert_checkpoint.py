@@ -18,6 +18,13 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+# Conversion is pure host work (torch tensors -> numpy -> orbax); never
+# touch an accelerator backend — a TPU relay outage must not hang a
+# checkpoint conversion. Must be set before any backend initialization.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 
 def main():
     parser = argparse.ArgumentParser()

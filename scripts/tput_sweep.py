@@ -12,7 +12,7 @@ import time
 import numpy as np
 
 
-def bench_cfg(seg, block, num_segs, iters=20):
+def bench_cfg(seg, block, num_segs, gather_segs=0, up_segs=0, iters=20):
     import jax
     import jax.numpy as jnp
     from open3d_ml_tpu.models import RandLANet
@@ -23,7 +23,8 @@ def bench_cfg(seg, block, num_segs, iters=20):
                       ignored_label_inds=[0], in_channels=3, dim_features=8,
                       dim_output=[16, 64, 128, 256],
                       sub_sampling_ratio=[4, 4, 4, 4],
-                      seg=seg, block=block, num_segs=num_segs)
+                      seg=seg, block=block, num_segs=num_segs,
+                      gather_segs=gather_segs, up_segs=up_segs)
     net = model.get_net()
     rng = np.random.default_rng(0)
     batch = {
@@ -65,14 +66,17 @@ def main():
     cfgs = [tuple(int(x) for x in a.split(",")) for a in sys.argv[1:]] or [
         (128, 128, 8), (64, 128, 48), (64, 128, 64), (128, 128, 32)]
     print(json.dumps({"device": jax.devices()[0].device_kind}))
-    for seg, block, s in cfgs:
+    for cfg in cfgs:
+        seg, block, s = cfg[:3]
+        g, u = (list(cfg[3:]) + [0, 0])[:2]
         try:
-            pps = bench_cfg(seg, block, s)
+            pps = bench_cfg(seg, block, s, g, u)
             print(json.dumps({"seg": seg, "qblock": block, "S": s,
+                              "G": g, "U": u,
                               "points_per_sec": round(pps, 1),
                               "vs_1M": round(pps / 1e6, 3)}), flush=True)
         except Exception as e:  # noqa: BLE001
-            print(json.dumps({"seg": seg, "qblock": block, "S": s,
+            print(json.dumps({"seg": seg, "qblock": block, "S": s, "G": g,
                               "error": repr(e)[:200]}), flush=True)
 
 

@@ -239,3 +239,66 @@ class TestFusedRandLANet:
         agree = (np.asarray(outf).argmax(-1) ==
                  np.asarray(oute).argmax(-1)).mean()
         assert agree > 0.7, agree
+
+
+class TestHilbertCurve:
+    """hilbert_codes must be a true Hilbert ordering: bijective over the
+    grid and unit-step between consecutive cells (the property that gives
+    the measured ~20% narrower candidate tables vs Morton)."""
+
+    @pytest.mark.parametrize("bits", [2, 3])
+    def test_bijection_and_unit_steps(self, bits):
+        from open3d_ml_tpu.ops.morton import hilbert_codes
+        n = 1 << bits
+        g = np.stack(np.meshgrid(np.arange(n), np.arange(n), np.arange(n),
+                                 indexing="ij"), -1).reshape(-1, 3)
+        # feed cell centers so _quantize recovers the exact grid coords
+        pts = (g + 0.5).astype(np.float32) / n
+        h = np.asarray(hilbert_codes(jnp.asarray(pts), bits=bits))
+        assert len(np.unique(h)) == n ** 3  # bijection
+        cells = g[np.argsort(h)]
+        steps = np.abs(np.diff(cells, axis=0)).sum(1)
+        assert (steps == 1).all()  # Hilbert adjacency
+
+    def test_invalid_points_sort_last(self):
+        from open3d_ml_tpu.ops.morton import hilbert_codes
+        rng = np.random.default_rng(0)
+        pts = jnp.asarray(rng.uniform(-5, 5, (64, 3)), jnp.float32)
+        valid = jnp.asarray(np.arange(64) < 48)
+        h = np.asarray(hilbert_codes(pts, valid))
+        assert (h[48:] == np.int32(0x7FFFFFFF)).all()
+        assert (h[:48] < np.int32(0x7FFFFFFF)).all()
+
+    def test_compact_tables_preserves_kept_neighbors(self):
+        """compact_tables: every neighbor whose slot survives must map to
+        the SAME global point; dropped ones duplicate the query's nearest
+        KEPT neighbor."""
+        from open3d_ml_tpu.ops.bucket import compact_tables
+        rng = np.random.default_rng(1)
+        B, nqb, S, seg, qblock, k = 2, 4, 16, 32, 64, 8
+        Q = nqb * qblock
+        seg_ids = np.stack([rng.choice(64, (nqb, S), replace=False)
+                            for _ in range(B)]).astype(np.int32)
+        slots = rng.choice(S, (B, Q, k),
+                           p=np.r_[np.full(4, 0.22),
+                                   np.full(S - 4, 0.12 / (S - 4))])
+        rel = (slots * seg +
+               rng.integers(0, seg, (B, Q, k))).astype(np.int32)
+        G = 6
+        nsids, nrel = compact_tables(jnp.asarray(seg_ids),
+                                     jnp.asarray(rel), G,
+                                     seg=seg, qblock=qblock)
+        nsids, nrel = np.asarray(nsids), np.asarray(nrel)
+        assert nsids.shape == (B, nqb, G)
+        blk = np.arange(Q)[:, None] // qblock
+        for b in range(B):
+            gold = seg_ids[b][blk, rel[b] // seg] * seg + rel[b] % seg
+            gnew = nsids[b][blk, nrel[b] // seg] * seg + nrel[b] % seg
+            same = gnew == gold
+            assert same.mean() > 0.5  # most survive at G=6/16 skewed hits
+            # every replaced entry duplicates one of that query's
+            # PRESERVED neighbors (its nearest kept one)
+            for i in range(Q):
+                for j in range(k):
+                    if not same[i, j]:
+                        assert gnew[i, j] in gnew[i][same[i]], (i, j)
