@@ -80,24 +80,31 @@ def _summaries(pts, seg, nseg):
     return lo, hi
 
 
-def _rank_segments(pts, qs, seg, qblock, num_segs, points_mask=None, sub=4):
+def _rank_segments(pts, qs, seg, qblock, num_segs, points_mask=None, sub=4,
+                   merge="rank"):
     """Top-S candidate segments per query block, by per-SUB-BLOCK ranking.
 
     Each block's qblock queries are split into `sub` sub-blocks; segments
     are scored per sub-block by the exact bbox-to-bbox lower bound on any
     point-pair distance (tie-broken by bbox-center distance — many nearby
-    segments tie at lb=0), then merged across the block's sub-blocks by
-    BEST RANK: a segment some sub-block ranks r-th cannot be displaced by
-    segments every sub-block ranks worse. Dense blocks (sub-blocks agree)
-    get the plain top-S; sparse blocks (sub-blocks diverge) are guaranteed
-    ~S/sub closest segments per sub-block.
+    segments tie at lb=0), then merged across the block's sub-blocks:
 
-    The returned table is ordered BEST RANK FIRST — the leading slots hold
+    * merge="rank": by BEST RANK — a segment some sub-block ranks r-th
+      cannot be displaced by segments every sub-block ranks worse. Dense
+      blocks (sub-blocks agree) get the plain top-S; sparse blocks
+      (sub-blocks diverge) are guaranteed ~S/sub closest segments per
+      sub-block. Costs a per-sub-block top_k + a scatter-min.
+    * merge="score": by BEST SCORE (min over sub-blocks) — one reshape-min
+      + one top_k, no scatter. A sub-block surrounded by many near
+      segments can crowd out another sub-block's closest ones, so recall
+      is slightly lower at equal S (measured at 45k lidar density,
+      Hilbert seg=64 S=48: 0.9963 rank vs 0.9948 score).
+
+    The returned table is ordered best-first — the leading slots hold
     the segments closest to the block, which concentrates most of every
-    query's true neighbors at the front. knn_pallas' two-tier extraction
-    (tier1/tier_m) exploits exactly this ordering.
+    query's true neighbors at the front.
 
-    pts [N, 3] / qs [Q, 3] Morton-sorted float32. Returns [nqb, S] int32.
+    pts [N, 3] / qs [Q, 3] curve-sorted float32. Returns [nqb, S] int32.
     """
     n, q = pts.shape[0], qs.shape[0]
     nseg = -(-n // seg)
@@ -120,6 +127,15 @@ def _rank_segments(pts, qs, seg, qblock, num_segs, points_mask=None, sub=4):
             _pad_rows(points_mask[:, None], nseg * seg).reshape(
                 nseg, seg) > 0, axis=1)
         score = jnp.where(seg_valid[None, :], score, jnp.inf)
+
+    if merge == "score":
+        pad = nqb * sub - nsb
+        if pad:
+            score = jnp.pad(score, ((0, pad), (0, 0)),
+                            constant_values=jnp.inf)
+        grid = jnp.min(score.reshape(nqb, sub, nseg), axis=1)
+        _, seg_ids = jax.lax.top_k(-grid, s)
+        return seg_ids.astype(jnp.int32)
 
     # Merged top-S can only contain segments that are top-S in SOME
     # sub-block (each sub-block alone contributes S segments with
@@ -251,7 +267,8 @@ def gather_bucket_max(values, seg_ids, rel_idx, *, seg=256, qblock=256):
     return jnp.max(gathered, axis=1)
 
 
-def select_segments(points, queries, *, seg=256, qblock=256, num_segs=8):
+def select_segments(points, queries, *, seg=256, qblock=256, num_segs=8,
+                    merge="rank"):
     """Batched XLA selection stage: the top-S candidate segments per query
     block, per-sub-block ranked and ordered best-first (see _rank_segments).
 
@@ -263,7 +280,8 @@ def select_segments(points, queries, *, seg=256, qblock=256, num_segs=8):
     """
     def one(pts, qs):
         return _rank_segments(pts.astype(jnp.float32),
-                              qs.astype(jnp.float32), seg, qblock, num_segs)
+                              qs.astype(jnp.float32), seg, qblock, num_segs,
+                              merge=merge)
 
     return jax.vmap(one)(points, queries)
 

@@ -59,6 +59,28 @@ class TestBucketKnnXLA:
             recall = (g[:, :, None] == ti[:, None, :]).any(2).mean()
             assert recall > floor, (num_segs, recall)
 
+    def test_score_merge_close_to_rank_merge(self):
+        """merge='score' (min-over-sub-blocks, no scatter) should track the
+        rank merge's segment recall closely — it trades a little recall
+        for a cheaper selection stage (see _rank_segments docstring)."""
+        from open3d_ml_tpu.ops.bucket import morton_sort, select_segments
+        pts = _lidar_cloud(8192)
+        _, sp = morton_sort(jnp.asarray(pts))
+        _, ti = cKDTree(np.asarray(sp)).query(np.asarray(sp), k=16)
+        seg, qb, s = 128, 128, 32
+        true_seg = ti // seg                       # [Q, 16]
+        qb_ids = np.arange(sp.shape[0]) // qb      # [Q]
+        recalls = {}
+        for merge in ("rank", "score"):
+            sids = np.asarray(select_segments(
+                sp[None], sp[None], seg=seg, qblock=qb, num_segs=s,
+                merge=merge))[0]                   # [nqb, S]
+            table = sids[qb_ids]                   # [Q, S]
+            hit = (true_seg[:, :, None] == table[:, None, :]).any(2)
+            recalls[merge] = hit.mean()
+        assert recalls["score"] > recalls["rank"] - 0.03, recalls
+        assert recalls["score"] > 0.85, recalls
+
     def test_gather_matches_indices(self):
         from open3d_ml_tpu.ops.bucket import (morton_sort, bucket_knn,
                                               gather_bucket,
