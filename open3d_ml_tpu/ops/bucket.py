@@ -357,7 +357,8 @@ def _pad_seg(x, seg, fill=0.0):
 
 def build_bucket_pyramid_tpu(points, k, sub_ratios, *, seg=128, qblock=128,
                              num_segs=8, gather_segs=0, up_segs=0,
-                             presorted=False, interpret=False):
+                             presorted=False, interpret=False,
+                             curve="hilbert"):
     """Batched, Pallas-backed KNN/pool/upsample pyramid (the fast path).
 
     Same contract as build_bucket_pyramid but over a [B, N, 3] batch, with
@@ -369,6 +370,10 @@ def build_bucket_pyramid_tpu(points, k, sub_ratios, *, seg=128, qblock=128,
     occupy, so the model's one-hot gathers run at the narrow width.
     up_segs > 0 caps the upsample (1-NN) search table.
 
+    curve picks the sort order ("hilbert" default — fewer segments per
+    query block at equal recall, see morton_sort; "morton" for the
+    legacy Z-order).
+
     Returns dict of per-level lists plus perm [B, N].
     """
     from .pallas.bucket import knn_pallas
@@ -378,7 +383,8 @@ def build_bucket_pyramid_tpu(points, k, sub_ratios, *, seg=128, qblock=128,
         perm = jnp.broadcast_to(jnp.arange(n0, dtype=jnp.int32), (b, n0))
         pc = points
     else:
-        codes = jax.vmap(morton_codes)(points)
+        code_fn = hilbert_codes if curve == "hilbert" else morton_codes
+        codes = jax.vmap(code_fn)(points)
         perm = jnp.argsort(codes, axis=1).astype(jnp.int32)
         pc = jnp.take_along_axis(points, perm[..., None], axis=1)
 
