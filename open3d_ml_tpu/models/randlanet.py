@@ -84,6 +84,10 @@ class _BucketLevel:
         self.interpret = interpret
         self.nbr_seg_ids = pyr["nbr_seg_ids"][i]
         self.nbr_rel = pyr["nbr_rel"][i]
+        # compaction may have re-blocked the nbr tables at a finer query
+        # granularity (gather_qblock) than the search blocks
+        self.nbr_qblock = pyr.get("nbr_qblock", [qblock] *
+                                  len(pyr["nbr_rel"]))[i]
         self.pool_seg_ids = pyr["pool_seg_ids"][i]
         self.pool_rel = pyr["pool_rel"][i]
         # pool neighbors may be reused nbr rows (stride slice), whose block
@@ -96,7 +100,7 @@ class _BucketLevel:
     def gather(self, v):
         """[B, N, C] -> [B, N, K, C]."""
         return self._gp(self._pad(v, self.seg), self.nbr_seg_ids,
-                        self.nbr_rel, self.seg, self.qblock, self.dtype,
+                        self.nbr_rel, self.seg, self.nbr_qblock, self.dtype,
                         self.interpret)
 
     def pool_max(self, v):
@@ -262,6 +266,7 @@ class RandLANetNet(nn.Module):
     block: int = 128          # fused path: queries per block
     num_segs: int = 8         # fused path: candidate segments per block
     gather_segs: int = 0      # fused path: compact gather tables to S' slots
+    gather_qblock: int = 0    # fused path: re-block gather tables finer
     up_segs: int = 0          # fused path: upsample (1-NN) table cap
     presorted: bool = False   # True if the host already curve-sorted
                               # (ops/bucket.morton_sort order, Hilbert)
@@ -286,6 +291,7 @@ class RandLANetNet(nn.Module):
                 list(self.sub_sampling_ratio), seg=self.seg,
                 qblock=self.block, num_segs=self.num_segs,
                 gather_segs=self.gather_segs, up_segs=self.up_segs,
+                gather_qblock=self.gather_qblock,
                 presorted=self.presorted, interpret=interpret)
             levels = [
                 _BucketLevel(pyr["coords"][i], pyr, i, self.seg, self.block,
@@ -459,6 +465,7 @@ class RandLANet(BaseModel):
                  block=128,
                  num_segs=8,
                  gather_segs=0,
+                 gather_qblock=0,
                  up_segs=0,
                  presorted=False,
                  compute_dtype="bfloat16",
@@ -484,6 +491,7 @@ class RandLANet(BaseModel):
                          block=block,
                          num_segs=num_segs,
                          gather_segs=gather_segs,
+                         gather_qblock=gather_qblock,
                          up_segs=up_segs,
                          presorted=presorted,
                          compute_dtype=compute_dtype,
@@ -510,6 +518,7 @@ class RandLANet(BaseModel):
             block=cfg.block,
             num_segs=cfg.num_segs,
             gather_segs=getattr(cfg, "gather_segs", 0),
+            gather_qblock=getattr(cfg, "gather_qblock", 0),
             up_segs=getattr(cfg, "up_segs", 0),
             presorted=cfg.presorted,
             compute_dtype=cfg.compute_dtype)

@@ -258,6 +258,16 @@ class TestFusedRandLANet:
         c = np.corrcoef(np.asarray(outf).ravel(),
                         np.asarray(oute).ravel())[0, 1]
         assert c > 0.8, c
+
+        # compacted + re-blocked gather tables (the shipped fast config's
+        # shape): same parameter tree, still tracks the exact path
+        comp = RandLANet(knn_method="fused", seg=64, block=128,
+                         num_segs=16, gather_segs=8, gather_qblock=32,
+                         up_segs=8, compute_dtype="float32", **kw)
+        outc = comp.get_net().apply(v, batch, training=False)
+        cc = np.corrcoef(np.asarray(outc).ravel(),
+                         np.asarray(oute).ravel())[0, 1]
+        assert cc > 0.8, cc
         agree = (np.asarray(outf).argmax(-1) ==
                  np.asarray(oute).argmax(-1)).mean()
         assert agree > 0.7, agree
@@ -324,3 +334,61 @@ class TestHilbertCurve:
                 for j in range(k):
                     if not same[i, j]:
                         assert gnew[i, j] in gnew[i][same[i]], (i, j)
+
+    def test_compact_tables_reblocked(self):
+        """out_qblock re-blocks the tables at finer query granularity:
+        same preserved-or-duplicate contract against the ORIGINAL global
+        ids, and a finer block keeps MORE of its own hits at equal G
+        (its hit union is smaller)."""
+        from open3d_ml_tpu.ops.bucket import compact_tables
+        rng = np.random.default_rng(2)
+        B, nqb, S, seg, qblock, k = 2, 4, 16, 32, 64, 8
+        gq = 16
+        Q = nqb * qblock
+        seg_ids = np.stack([rng.choice(64, (nqb, S), replace=False)
+                            for _ in range(B)]).astype(np.int32)
+        # per-SUB-BLOCK skew: each 16-query group concentrates on a few
+        # slots of its own (mimics spatial locality within a block)
+        slots = np.empty((B, Q, k), np.int64)
+        for b in range(B):
+            for g in range(Q // gq):
+                fav = rng.choice(S, 3, replace=False)
+                p = np.full(S, 0.3 / (S - 3))
+                p[fav] = 0.7 / 3
+                slots[b, g * gq:(g + 1) * gq] = rng.choice(
+                    S, (gq, k), p=p)
+        rel = (slots * seg +
+               rng.integers(0, seg, (B, Q, k))).astype(np.int32)
+        G = 6
+        keep_rates = {}
+        for oq in (0, gq):
+            nsids, nrel = compact_tables(jnp.asarray(seg_ids),
+                                         jnp.asarray(rel), G, seg=seg,
+                                         qblock=qblock, out_qblock=oq)
+            nsids, nrel = np.asarray(nsids), np.asarray(nrel)
+            eff_qb = oq or qblock
+            assert nsids.shape == (B, Q // eff_qb, G)
+            blk0 = np.arange(Q)[:, None] // qblock
+            blk1 = np.arange(Q)[:, None] // eff_qb
+            same_all = []
+            for b in range(B):
+                gold = (seg_ids[b][blk0, rel[b] // seg] * seg +
+                        rel[b] % seg)
+                gnew = (nsids[b][blk1, nrel[b] // seg] * seg +
+                        nrel[b] % seg)
+                same = gnew == gold
+                same_all.append(same)
+                for i in range(Q):
+                    bad = ~same[i]
+                    if bad.any() and same[i].any():
+                        kept = gnew[i][same[i]]
+                        assert np.isin(gnew[i][bad], kept).all(), (b, i)
+                    elif bad.all():
+                        # adversarial synthetic only (real self-KNN always
+                        # keeps the query's own segment): the guard must
+                        # still emit VALID rows of the block's kept table
+                        tbl = (nsids[b][i // eff_qb][:, None] * seg +
+                               np.arange(seg)).ravel()
+                        assert np.isin(gnew[i], tbl).all(), (b, i)
+            keep_rates[oq] = np.mean(same_all)
+        assert keep_rates[gq] > keep_rates[0], keep_rates
