@@ -86,7 +86,7 @@ def main():
     ap.add_argument("--qblock", type=int, default=None,
                     help="fused-path query-block size override")
     ap.add_argument("--fused", action="append", default=None,
-                    metavar="SEG,QBLOCK,S[,G[,U]]",
+                    metavar="SEG,QBLOCK,S[,G[,U[,GQ]]]",
                     help="evaluate a full fused config (repeatable); "
                          "G = gather_segs table compaction, U = up_segs; "
                          "replaces the --num-segs sweep when given")
@@ -196,6 +196,8 @@ def main():
             model.cfg.cfg_dict["gather_segs"] = (segs[3] if len(segs) > 3
                                                  else 0)
             model.cfg.cfg_dict["up_segs"] = segs[4] if len(segs) > 4 else 0
+            model.cfg.cfg_dict["gather_qblock"] = (segs[5]
+                                                   if len(segs) > 5 else 0)
         elif segs is not None:
             model.cfg.cfg_dict["num_segs"] = segs
         if args.seg:
@@ -217,6 +219,8 @@ def main():
                 key += f"_G{segs[3]}"
             if len(segs) > 4 and segs[4]:
                 key += f"_U{segs[4]}"
+            if len(segs) > 5 and segs[5]:
+                key += f"_GQ{segs[5]}"
         else:
             key = method if segs is None else f"{method}_S{segs}"
             if segs is not None and (args.seg or args.qblock):

@@ -12,7 +12,8 @@ import time
 import numpy as np
 
 
-def bench_cfg(seg, block, num_segs, gather_segs=0, up_segs=0, iters=20):
+def bench_cfg(seg, block, num_segs, gather_segs=0, up_segs=0,
+              gather_qblock=0, iters=20):
     import jax
     import jax.numpy as jnp
     from open3d_ml_tpu.models import RandLANet
@@ -24,7 +25,8 @@ def bench_cfg(seg, block, num_segs, gather_segs=0, up_segs=0, iters=20):
                       dim_output=[16, 64, 128, 256],
                       sub_sampling_ratio=[4, 4, 4, 4],
                       seg=seg, block=block, num_segs=num_segs,
-                      gather_segs=gather_segs, up_segs=up_segs)
+                      gather_segs=gather_segs, up_segs=up_segs,
+                      gather_qblock=gather_qblock)
     net = model.get_net()
     rng = np.random.default_rng(0)
     batch = {
@@ -68,15 +70,16 @@ def main():
     print(json.dumps({"device": jax.devices()[0].device_kind}))
     for cfg in cfgs:
         seg, block, s = cfg[:3]
-        g, u = (list(cfg[3:]) + [0, 0])[:2]
+        g, u, gq = (list(cfg[3:]) + [0, 0, 0])[:3]
         try:
-            pps = bench_cfg(seg, block, s, g, u)
+            pps = bench_cfg(seg, block, s, g, u, gq)
             print(json.dumps({"seg": seg, "qblock": block, "S": s,
-                              "G": g, "U": u,
+                              "G": g, "U": u, "GQ": gq,
                               "points_per_sec": round(pps, 1),
                               "vs_1M": round(pps / 1e6, 3)}), flush=True)
         except Exception as e:  # noqa: BLE001
             print(json.dumps({"seg": seg, "qblock": block, "S": s, "G": g,
+                              "GQ": gq,
                               "error": repr(e)[:200]}), flush=True)
 
 
