@@ -475,6 +475,44 @@ class PointPillars(ObjdetBaseModel):
             compute_dtype=cfg.get("compute_dtype", "bfloat16"),
             pillar_mode=cfg.get("pillar_mode", "canvas"))
 
+    def get_eval_net(self):
+        """Evaluation net: reference-exact pillarization semantics.
+
+        The default 'canvas' mode (fast train/bench path) drops the
+        reference's max_points_per_voxel / max_voxels cap semantics
+        (reference /root/reference/ml3d/torch/models/point_pillars.py:
+        299-382) and pools at bf16 — fine for training, but reported mAP
+        and converted-zoo-checkpoint evaluation must ride the exact
+        'compact' path (same principle as RandLANet.get_eval_net). Both
+        nets share one parameter tree. ``eval_pillar_mode``/
+        ``eval_compute_dtype`` opt out explicitly (with a warning).
+        """
+        cfg = self.cfg
+        mode = cfg.get("eval_pillar_mode", None) or "compact"
+        dtype = cfg.get("eval_compute_dtype", None) or "float32"
+        if mode != "compact":
+            import logging
+            logging.getLogger(__name__).warning(
+                "PointPillars evaluation uses the APPROXIMATE '%s' "
+                "pillarization (eval_pillar_mode override); reported mAP "
+                "does not ride the reference cap semantics.", mode)
+        return PointPillarsNet(
+            classes=tuple(self.classes),
+            point_cloud_range=tuple(self.point_cloud_range),
+            voxel_size=tuple(self.voxel_size),
+            max_num_points=self.max_num_points,
+            max_voxels=self.max_voxels[1],  # the reference's EVAL cap
+            feat_channels=tuple(
+                cfg.voxel_encoder.get("feat_channels", [64])),
+            output_shape=self.output_shape,
+            backbone={k: tuple(v) if isinstance(v, list) else v
+                      for k, v in dict(cfg.backbone or {}).items()},
+            neck={k: tuple(v) if isinstance(v, list) else v
+                  for k, v in dict(cfg.neck or {}).items()},
+            head=dict(cfg.head or {}),
+            compute_dtype=dtype,
+            pillar_mode=mode)
+
     # ------------------------------------------------------------- host side
 
     def preprocess(self, data, attr):

@@ -334,7 +334,11 @@ def compact_tables(seg_ids, rel, gather_segs, *, seg, qblock,
     sp = min(gather_segs, s)
     qpad = nqb * qblock - q  # covers re-blocking, where ceil-division
     assert qpad >= 0         # against out_qblock may under-pad vs nqb*f
-    relp = jnp.pad(rel, ((0, 0), (0, qpad), (0, 0))) if qpad else rel
+    # pad with -1: slot -1 one-hots to all-zero rows, so phantom tail
+    # entries neither bias the hit histogram toward slot 0 nor displace
+    # real tail slots from the kept set
+    relp = (jnp.pad(rel, ((0, 0), (0, qpad), (0, 0)), constant_values=-1)
+            if qpad else rel)
     slot = (relp // seg).reshape(b, nqb, qblock * k)    # [B, nqb, E]
     oh = jax.nn.one_hot(slot, s, dtype=jnp.float32)     # [B, nqb, E, S]
     hist = jnp.sum(oh, axis=2)                          # [B, nqb, S]

@@ -36,6 +36,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 1e30
 
+# Test hook: when True, interpret=True runs the REAL kernels through the
+# Mosaic interpreter (slow, tiny shapes only) instead of the fast XLA twin,
+# so kernel-side logic (grid/padding arithmetic) is exercised on CPU.
+_INTERPRET_KERNEL = False
+
 
 def _seg_specs(s, seg, width):
     """S BlockSpecs that each select one segment row-block of the values
@@ -213,7 +218,7 @@ def knn_pallas(points, queries, seg_ids, k, *, seg=128, qblock=128,
 
     Returns (rel [B, Q, k] int32 indices into the S*seg table, d2 [B, Q, k]).
     """
-    if interpret:
+    if interpret and not _INTERPRET_KERNEL:
         return _knn_xla(points, queries, seg_ids, k, seg, qblock)
 
     b, n, d = points.shape
@@ -335,7 +340,7 @@ def _gather_fwd_impl(values, seg_ids, rel, seg, qblock, compute_dtype,
     _, nqb, s = seg_ids.shape
     assert n % seg == 0, "pad values to a multiple of seg"
 
-    if interpret:
+    if interpret and not _INTERPRET_KERNEL:
         # XLA twin for CPU/tests (exact f32 rows; the kernel's bf16 one-hot
         # matmul rounds values to bf16)
         blk = jnp.arange(q)[None, :, None] // qblock
@@ -348,7 +353,12 @@ def _gather_fwd_impl(values, seg_ids, rel, seg, qblock, compute_dtype,
                                        rel[i:i + 1], seg, qblock,
                                        compute_dtype, interpret), b)
 
-    qpad = (-q) % qblock
+    # Pad queries to cover EXACTLY the nqb table rows: after compact_tables
+    # re-blocking (gather_qblock), nqb can exceed ceil(q/qblock) whenever q
+    # is not a multiple of the original search qblock — padding from q alone
+    # would let the extra grid steps index rel/out blocks out of bounds.
+    qpad = nqb * qblock - q
+    assert qpad >= 0, (nqb, qblock, q)
     relp = jnp.pad(rel, ((0, 0), (0, qpad), (0, 0))) if qpad else rel
     seg_ids_flat = seg_ids.reshape(b, nqb * s)
 
@@ -459,7 +469,7 @@ def _gather_bwd(seg, qblock, compute_dtype, interpret, res, g):
     _, nqb, s = seg_ids.shape
     table = s * seg
 
-    if interpret:  # XLA twin: plain scatter-add
+    if interpret and not _INTERPRET_KERNEL:  # XLA twin: plain scatter-add
         blk = jnp.arange(q)[None, :, None] // qblock
         bidx = jnp.arange(b)[:, None, None]
         glob = seg_ids[bidx, blk, rel // seg] * seg + rel % seg
@@ -467,7 +477,11 @@ def _gather_bwd(seg, qblock, compute_dtype, interpret, res, g):
         dv = dv.at[bidx, glob].add(g)
         return dv, None, None
 
-    qpad = (-q) % qblock
+    # pad to cover exactly the nqb table rows (see _gather_fwd_impl): with
+    # re-blocked tables the extra grid steps would otherwise read g out of
+    # bounds and scatter-add the duplicated partials into dv
+    qpad = nqb * qblock - q
+    assert qpad >= 0, (nqb, qblock, q)
     relp = jnp.pad(rel, ((0, 0), (0, qpad), (0, 0))) if qpad else rel
 
     oh_bytes = qblock * k * table * (2 if compute_dtype == jnp.bfloat16
@@ -492,6 +506,7 @@ def _gather_bwd(seg, qblock, compute_dtype, interpret, res, g):
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((b, nqb * table, c),
                                            jnp.float32),
+            interpret=interpret,
         )(relp, gp)
     else:
         gp = g.reshape(b, q, k * c)
@@ -512,6 +527,7 @@ def _gather_bwd(seg, qblock, compute_dtype, interpret, res, g):
                                    lambda ib, iq: (ib, iq, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((b, nqb * table, c), jnp.float32),
+            interpret=interpret,
         )(relp, gp)
 
     # reduce partials into value rows: one scatter-add of nqb*S contiguous

@@ -49,6 +49,11 @@ class ObjectDetection(BasePipeline):
                          split=split,
                          **kwargs)
         self.net = model.get_net()
+        # run_valid/run_test/run_inference ride the model's EXACT eval net
+        # (e.g. PointPillars' reference-cap 'compact' pillarization) —
+        # same parameter tree as the training net, different execution
+        # path. Mirrors SemanticSegmentation.run_test's get_eval_net use.
+        self.eval_net = model.get_eval_net()
 
     # --------------------------------------------------------------- helpers
 
@@ -97,7 +102,7 @@ class ObjectDetection(BasePipeline):
         return jax.jit(train_step, donate_argnums=(0,))
 
     def _make_infer_fn(self):
-        net = self.net
+        net = self.eval_net
 
         def infer(params, batch_stats, batch):
             return net.apply({"params": params, "batch_stats": batch_stats},

@@ -178,6 +178,50 @@ class TestPallasKernels:
         np.testing.assert_allclose(float(g[0, 100, 2]), float(fd), rtol=5e-2,
                                    atol=5e-2)
 
+    def test_gather_kernel_reblocked_nonmultiple_q(self, monkeypatch):
+        """Regression: after compact_tables re-blocking (gather_qblock),
+        the table row count nqb exceeds ceil(Q/qblock) whenever Q is not a
+        multiple of the SEARCH qblock. The kernel's query padding must be
+        derived from nqb, or the extra grid steps index rel/out blocks out
+        of bounds (and the backward scatter-adds the duplicated partials
+        into dv). Runs the REAL kernels via the Mosaic interpreter."""
+        from open3d_ml_tpu.ops.bucket import (morton_sort, select_segments,
+                                              compact_tables)
+        from open3d_ml_tpu.ops.pallas import bucket as pb
+        rng = np.random.default_rng(5)
+        n, seg, qb, gq, k, c = 96, 32, 64, 16, 4, 8
+        pts = jnp.asarray(rng.uniform(-5, 5, (1, n, 3)), jnp.float32)
+        sp = jax.vmap(lambda p: morton_sort(p)[1])(pts)
+        sids = select_segments(sp, sp, seg=seg, qblock=qb, num_segs=2)
+        rel, _ = pb.knn_pallas(sp, sp, sids, k, seg=seg, qblock=qb,
+                               interpret=True)
+        gsids, grel = compact_tables(sids, rel, 2, seg=seg, qblock=qb,
+                                     out_qblock=gq)
+        # nqb = ceil(96/64)*(64/16) = 8 table rows, but ceil(96/16) = 6
+        assert gsids.shape[1] * gq > n
+        vals = jnp.asarray(rng.standard_normal((1, n, c)), jnp.float32)
+
+        def f(v, interp_kernel):
+            # the flag is read at trace time and is not part of JAX's trace
+            # cache key — drop caches so each setting really retraces
+            monkeypatch.setattr(pb, "_INTERPRET_KERNEL", interp_kernel)
+            jax.clear_caches()
+            return pb.gather_pallas(v, gsids, grel, seg, gq,
+                                    jnp.float32, True)
+
+        out_twin = f(vals, False)
+        out_kern = f(vals, True)
+        np.testing.assert_allclose(np.asarray(out_kern),
+                                   np.asarray(out_twin), atol=1e-5)
+
+        def loss(v, interp_kernel):
+            return jnp.sum(f(v, interp_kernel) ** 2)
+
+        g_twin = jax.grad(lambda v: loss(v, False))(vals)
+        g_kern = jax.grad(lambda v: loss(v, True))(vals)
+        np.testing.assert_allclose(np.asarray(g_kern), np.asarray(g_twin),
+                                   atol=1e-4)
+
     def test_mosaic_kernel_interpret_mode_tiny(self):
         """True Mosaic interpreter on a tiny shape: kernel == XLA twin."""
         from jax.experimental import pallas as pl  # noqa: F401

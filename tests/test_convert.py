@@ -1317,7 +1317,11 @@ class TestPointPillarsEndToEndParity:
             head={"ranges": [list(self.PC_RANGE)],
                   "sizes": [[1.6, 3.9, 1.56]],
                   "rotations": [0, 1.5707963]})
-        net = model.get_net(training=False)
+        # parity is asserted on the EVAL net — the reference-cap 'compact'
+        # pillarization + f32 pooling that run_valid/run_test actually use
+        # (converted zoo checkpoints are evaluated through this path)
+        net = model.get_eval_net()
+        assert net.pillar_mode == "compact"
         sd = {k: v.numpy() for k, v in mirror.state_dict().items()}
         variables = convert_pointpillars(sd)
 

@@ -220,6 +220,65 @@ class TestCanvasMajorPillars:
             np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                        atol=1e-5)
 
+    def test_compact_cap_binding_matches_reference_semantics(self, rng):
+        """When a pillar holds more than max_num_points points, the
+        reference keeps only the FIRST max_num_points (in point order) in
+        its dense [V, P] buffer — later points are invisible to the PFN
+        (reference point_pillars.py:299-382). 'compact' must reproduce
+        that: its output on the full cloud equals the net run on a
+        host-pre-capped cloud. 'canvas' pools ALL points (documented
+        delta), so it must differ here — which is why get_eval_net pins
+        eval to 'compact'."""
+        import jax
+        b, p = 1, 256
+        n_real, n_hot = 200, 80  # 80 of the points pile into ONE pillar
+        pts = np.zeros((b, p, 4), np.float32)
+        pts[:, :n_real, 0] = rng.uniform(0, 12.7, (b, n_real))
+        pts[:, :n_real, 1] = rng.uniform(-6.3, 6.3, (b, n_real))
+        pts[:, :n_real, 2] = rng.uniform(-3, 1, (b, n_real))
+        pts[:, :n_real, 3] = rng.uniform(0, 1, (b, n_real))
+        # hot pillar: cell x in [4.0, 4.4), y in [0.0, 0.4)
+        pts[:, :n_hot, 0] = rng.uniform(4.01, 4.39, (b, n_hot))
+        pts[:, :n_hot, 1] = rng.uniform(0.01, 0.39, (b, n_hot))
+
+        # host-side reference cap: first max_num_points per pillar
+        # (in original point order), rest dropped
+        cap = 32
+        capped = pts.copy()
+        counts = {}
+        keep = np.ones(n_real, bool)
+        for i in range(n_real):
+            cell = (int((pts[0, i, 0]) / 0.4), int((pts[0, i, 1] + 6.4)
+                                                   / 0.4))
+            counts[cell] = counts.get(cell, 0) + 1
+            if counts[cell] > cap:
+                keep[i] = False
+        kept = pts[0, :n_real][keep]
+        capped[:] = 0
+        capped[0, :len(kept)] = kept
+
+        batch_full = {"point": jnp.asarray(pts),
+                      "point_count": jnp.full((b,), n_real, jnp.int32)}
+        batch_cap = {"point": jnp.asarray(capped),
+                     "point_count": jnp.full((b,), len(kept), jnp.int32)}
+        assert len(kept) < n_real  # the cap really binds
+
+        canvas_net = self._net("canvas")
+        compact_net = self._net("compact")
+        v = canvas_net.init({"params": jax.random.PRNGKey(0)}, batch_full,
+                            training=False)
+        out_compact_full = compact_net.apply(v, batch_full, training=False)
+        out_canvas_cap = canvas_net.apply(v, batch_cap, training=False)
+        out_canvas_full = canvas_net.apply(v, batch_full, training=False)
+        # compact(full) == any-mode(pre-capped): reference cap semantics
+        for a, bb in zip(out_compact_full, out_canvas_cap):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                       atol=1e-5)
+        # canvas(full) sees the capped-out points -> must differ
+        deltas = [float(np.abs(np.asarray(a) - np.asarray(bb)).max())
+                  for a, bb in zip(out_canvas_full, out_compact_full)]
+        assert max(deltas) > 1e-4, deltas
+
 
 class TestSampling:
 
