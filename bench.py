@@ -1,16 +1,28 @@
 """Benchmark: flagship-model inference throughput on one TPU chip.
 
-Primary metric: RandLA-Net SemanticKITTI-config inference (num_points=45056,
-batch 4) in points/sec — INCLUDING the on-device KNN/pool/upsample pyramid
+Primary metric: RandLA-Net inference points/sec, built from the SHIPPED
+config (`open3d_ml_tpu/configs/randlanet_semantickitti.yml` — num_points,
+batch size, and the fused-KNN table budget all come from that file), so the
+benched configuration can never silently diverge from what `RandLANet()`
+users run. The measurement INCLUDES the on-device KNN/pool/upsample pyramid
 (which the reference computes on the CPU in DataLoader workers; here it is
-part of the XLA program). Secondary metric (extra field in the same JSON
-line): PointPillars KITTI-config scans/sec (voxelize -> PFN -> BEV scatter ->
-SECOND/FPN -> head, on-device end to end).
+part of the XLA program). Secondary metrics: PointPillars scans/sec,
+KPConv / SparseConvUnet / PointTransformer points/sec, and the RandLA-Net
+train-step points/sec + MFU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
-Never tracebacks: on persistent backend failure it prints the JSON line with
-an "error" field and exits 0, so a transient TPU-relay blip cannot erase the
-round's record.
+Hang-proof by construction: the parent process never imports JAX. Every
+metric (and the initial backend probe) runs in its own subprocess under a
+hard wall-clock watchdog, so a hung TPU relay — which blocks `jax.devices()`
+forever rather than raising — costs one timeout, not the round's artifact.
+After every completed metric the parent prints the CUMULATIVE record as one
+flushed JSON line and rewrites `BENCH_partial.json`; kill -9 at any moment
+leaves every completed metric on stdout (the driver parses the last JSON
+line). Two consecutive metric timeouts are treated as a dead backend and
+the run bails with whatever it has.
+
+Env knobs: BENCH_QUICK=1 (primary + pointpillars only), BENCH_NO_TRAIN=1,
+BENCH_METRICS=name,name (explicit subset), BENCH_PROBE_TIMEOUT /
+BENCH_METRIC_TIMEOUT / BENCH_TRAIN_TIMEOUT (seconds).
 
 Baseline: the reference publishes no throughput numbers (SURVEY.md section
 6). We use 1.0e6 points/sec as the reference-CUDA estimate for RandLA-Net
@@ -20,59 +32,105 @@ anchor is 50 scans/sec (~20 ms/scan on a modern GPU for the KITTI config).
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 import traceback
 
-import numpy as np
-
 REFERENCE_POINTS_PER_SEC = 1.0e6
 REFERENCE_PP_SCANS_PER_SEC = 50.0
+REFERENCE_KPCONV_PPS = 3.0e5
+REFERENCE_SCU_PPS = 1.0e6
+REFERENCE_PT_PPS = 3.0e5
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def _probe_devices(retries=6, delay=5.0):
-    """Probe the backend with retry/backoff; a relay blip at t=0 must not
-    kill the run. Returns the device list (raises after all retries)."""
-    import os
+# ---------------------------------------------------------------- children
+# Everything below runs in per-metric subprocesses; only children import
+# JAX / numpy / the framework.
 
-    import jax
-    try:
-        # persistent compile cache: the train-step compile is minutes cold,
-        # seconds warm — this is what makes the train metric affordable in
-        # the default record (same mechanism as parallel/dryrun.py)
-        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-    last = None
-    for attempt in range(retries):
-        try:
-            devs = jax.devices()
-            # force one tiny dispatch so a half-up relay fails here, inside
-            # the retry loop, instead of at the first real array build
-            import jax.numpy as jnp
-            float(jnp.zeros(()) + 1.0)
-            return devs
-        except Exception as e:  # noqa: BLE001 - any backend error retries
-            last = e
-            time.sleep(delay * (1.5 ** attempt))
-    raise RuntimeError(f"no usable jax backend after {retries} probes: "
-                       f"{last}")
+def _setup_jax():
+    """Child-side JAX setup: shared persistent compile cache (same helper
+    and OPEN3D_ML_TPU_COMPILE_CACHE override as the pipelines and
+    parallel/dryrun.py use, so bench runs reuse pipeline compiles).
+
+    BENCH_FORCE_PLATFORM=cpu forces the backend (used by CPU smoke runs
+    and the watchdog tests): the axon TPU plugin force-sets jax_platforms
+    at sitecustomize time, so the JAX_PLATFORMS env var alone is not
+    enough — the config must be updated after importing jax (same dance
+    as tests/conftest.py).
+    """
+    forced = os.environ.get("BENCH_FORCE_PLATFORM")
+    if forced:
+        import jax
+        jax.config.update("jax_platforms", forced)
+    from open3d_ml_tpu.pipelines.base_pipeline import _enable_compile_cache
+    _enable_compile_cache()
 
 
-def bench_randlanet():
-    """RandLA-Net inference points/sec at the SemanticKITTI patch size."""
+def _flagship_model(num_points_override=None):
+    """Build RandLANet from the SHIPPED SemanticKITTI YAML.
+
+    Returns (model, batch_size). The bench measuring anything other than
+    the file users train from was round 2/3's three-way config
+    fragmentation; loading the YAML here makes divergence impossible.
+    """
+    from open3d_ml_tpu.models import RandLANet
+    from open3d_ml_tpu.utils import Config
+
+    cfg_path = os.path.join(_HERE, "open3d_ml_tpu", "configs",
+                            "randlanet_semantickitti.yml")
+    cfg = Config.load_from_file(cfg_path)
+    model_cfg = dict(cfg.model)
+    model_cfg.pop("name", None)
+    model_cfg.pop("ckpt_path", None)
+    if num_points_override:
+        model_cfg["num_points"] = num_points_override
+    model = RandLANet(**model_cfg)
+    return model, int(dict(cfg.pipeline or {}).get("batch_size", 4))
+
+
+def _knn_config_string(cfg):
+    """Human-readable fused-table budget, for the record."""
+    if cfg.knn_method != "fused":
+        return cfg.knn_method
+    s = f"fused seg{cfg.seg} qb{cfg.block} S{cfg.num_segs}"
+    if getattr(cfg, "gather_segs", 0):
+        s += f" G{cfg.gather_segs}"
+    if getattr(cfg, "gather_qblock", 0):
+        s += f" GQ{cfg.gather_qblock}"
+    if getattr(cfg, "up_segs", 0):
+        s += f" U{cfg.up_segs}"
+    return s
+
+
+def child_probe():
+    """Backend probe: device discovery + one tiny dispatch. On a hung
+    relay this BLOCKS (it does not raise), which is exactly why it runs
+    in a watchdogged subprocess."""
+    if os.environ.get("BENCH_FAKE_HANG") == "probe":
+        time.sleep(3600)  # test hook: simulate the hung-relay block
+    _setup_jax()
     import jax
     import jax.numpy as jnp
-    from open3d_ml_tpu.models import RandLANet
+    devs = jax.devices()
+    float(jnp.zeros(()) + 1.0)
+    return {"device_kind": getattr(devs[0], "device_kind", "unknown"),
+            "num_devices": len(devs)}
 
-    batch_size = 4
-    num_points = 45056
-    model = RandLANet(num_points=num_points, num_classes=19,
-                      ignored_label_inds=[0], in_channels=3, dim_features=8,
-                      dim_output=[16, 64, 128, 256],
-                      sub_sampling_ratio=[4, 4, 4, 4])
+
+def child_randlanet():
+    """RandLA-Net inference points/sec at the shipped SemanticKITTI
+    config (patch size, batch size and fused-KNN budget from the YAML)."""
+    _setup_jax()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    model, batch_size = _flagship_model()
+    num_points = model.cfg.num_points
     net = model.get_net()
 
     rng = np.random.default_rng(0)
@@ -111,36 +169,43 @@ def bench_randlanet():
     t0 = time.perf_counter()
     float(run(variables, batch))
     dt = time.perf_counter() - t0
+    pps = batch_size * num_points * iters / dt
 
     from open3d_ml_tpu.utils.flops import (peak_flops_for,
                                            randlanet_forward_flops)
     flops_fwd = randlanet_forward_flops(
-        num_points, num_neighbors=16, dim_output=(16, 64, 128, 256),
-        dim_features=8, in_channels=3, sub_sampling_ratio=(4, 4, 4, 4),
-        num_classes=19, batch_size=batch_size)
+        num_points, num_neighbors=model.cfg.num_neighbors,
+        dim_output=tuple(model.cfg.dim_output),
+        dim_features=model.cfg.dim_features,
+        in_channels=model.cfg.in_channels,
+        sub_sampling_ratio=tuple(model.cfg.sub_sampling_ratio),
+        num_classes=model.cfg.num_classes, batch_size=batch_size)
     peak = peak_flops_for(jax.devices()[0].device_kind)
     mfu = flops_fwd * iters / dt / peak
-    return batch_size * num_points * iters / dt, flops_fwd, mfu
+    return {"value": round(pps, 1),
+            "vs_baseline": round(pps / REFERENCE_POINTS_PER_SEC, 3),
+            "knn_config": _knn_config_string(model.cfg),
+            "model_flops_per_fwd": round(flops_fwd),
+            "mfu": round(mfu, 5)}
 
 
-def bench_randlanet_train():
-    """RandLA-Net TRAIN-step points/sec (forward + grads + adam, chained).
+def child_train():
+    """RandLA-Net TRAIN-step points/sec + MFU at the shipped config
+    (forward + grads + adam, chained).
 
     The reference flow being measured: semantic_segmentation.py:403-437
     (forward/loss/backward/step), here as one jitted step with the
     on-device pyramid shared by value_and_grad.
     """
+    _setup_jax()
     import jax
     import jax.numpy as jnp
+    import numpy as np
     import optax
-    from open3d_ml_tpu.models import RandLANet
 
-    batch_size = 4
-    num_points = 45056
-    model = RandLANet(num_points=num_points, num_classes=19,
-                      ignored_label_inds=[0], in_channels=3, dim_features=8,
-                      dim_output=[16, 64, 128, 256],
-                      sub_sampling_ratio=[4, 4, 4, 4])
+    model, batch_size = _flagship_model()
+    num_points = model.cfg.num_points
+    num_classes = model.cfg.num_classes
     net = model.get_net()
 
     rng = np.random.default_rng(0)
@@ -150,7 +215,8 @@ def bench_randlanet_train():
         "features": jnp.asarray(
             rng.uniform(-25, 25, (batch_size, num_points, 3)), jnp.float32),
         "labels": jnp.asarray(
-            rng.integers(1, 19, (batch_size, num_points)), jnp.int32),
+            rng.integers(1, num_classes, (batch_size, num_points)),
+            jnp.int32),
     }
     key = jax.random.PRNGKey(0)
     variables = jax.jit(
@@ -165,7 +231,7 @@ def bench_randlanet_train():
         out, upd = net.apply({"params": p, "batch_stats": bstats}, b,
                              training=True, mutable=["batch_stats"],
                              rngs={"dropout": key})
-        logits = out.reshape(-1, 19)
+        logits = out.reshape(-1, num_classes)
         labels = b["labels"].reshape(-1)
         lp = jnp.take_along_axis(jax.nn.log_softmax(logits, -1),
                                  labels[:, None], -1)[:, 0]
@@ -188,25 +254,39 @@ def bench_randlanet_train():
     t0 = time.perf_counter()
     float(run(params, bs0, opt0, batch))
     dt = time.perf_counter() - t0
-    return batch_size * num_points * iters / dt
+    tps = batch_size * num_points * iters / dt
+
+    from open3d_ml_tpu.utils.flops import (peak_flops_for,
+                                           randlanet_forward_flops)
+    # fwd + bwd ~= 3x forward FLOPs (standard rule: grads w.r.t. inputs
+    # and weights each re-run the matmul volume once)
+    flops_step = 3 * randlanet_forward_flops(
+        num_points, num_neighbors=model.cfg.num_neighbors,
+        dim_output=tuple(model.cfg.dim_output),
+        dim_features=model.cfg.dim_features,
+        in_channels=model.cfg.in_channels,
+        sub_sampling_ratio=tuple(model.cfg.sub_sampling_ratio),
+        num_classes=num_classes, batch_size=batch_size)
+    peak = peak_flops_for(jax.devices()[0].device_kind)
+    return {"randlanet_train_points_per_sec": round(tps, 1),
+            "randlanet_train_mfu": round(flops_step * iters / dt / peak, 5)}
 
 
-def bench_pointpillars():
+def child_pointpillars():
     """PointPillars KITTI-config scans/sec (end-to-end on-device forward).
 
     Reference flow being measured: voxelize -> PillarFeatureNet -> BEV
     scatter -> SECOND -> SECONDFPN -> Anchor3DHead
     (/root/reference/ml3d/torch/models/point_pillars.py:130-134).
     """
-    import os
-
+    _setup_jax()
     import jax
     import jax.numpy as jnp
+    import numpy as np
     from open3d_ml_tpu.models import PointPillars
     from open3d_ml_tpu.utils import Config
 
-    cfg_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "open3d_ml_tpu", "configs",
+    cfg_path = os.path.join(_HERE, "open3d_ml_tpu", "configs",
                             "pointpillars_kitti.yml")
     cfg = Config.load_from_file(cfg_path)
     model_cfg = dict(cfg.model)
@@ -234,7 +314,7 @@ def bench_pointpillars():
     variables = jax.jit(
         lambda b: net.init({"params": key}, b, training=False))(batch)
 
-    # chained-dispatch throughput (see bench_randlanet for rationale)
+    # chained-dispatch throughput (see child_randlanet for rationale)
     iters = 20
 
     @jax.jit
@@ -250,6 +330,7 @@ def bench_pointpillars():
     t0 = time.perf_counter()
     float(run(variables, batch))
     dt = time.perf_counter() - t0
+    sps = batch_size * iters / dt
 
     from open3d_ml_tpu.utils.flops import (peak_flops_for,
                                            pointpillars_forward_flops)
@@ -271,15 +352,16 @@ def bench_pointpillars():
         batch_size=batch_size)
     peak = peak_flops_for(jax.devices()[0].device_kind)
     mfu = flops_fwd * iters / dt / peak
-    return batch_size * iters / dt, flops_fwd, mfu
+    return {"pointpillars_scans_per_sec": round(sps, 2),
+            "pointpillars_vs_baseline": round(
+                sps / REFERENCE_PP_SCANS_PER_SEC, 3),
+            "pointpillars_mfu": round(mfu, 5)}
 
 
 def _chained_throughput(apply_fn, variables, batch, rows_per_iter,
                         iters=10):
-    """Time `iters` chained forwards inside one jit (see bench_randlanet
+    """Time `iters` chained forwards inside one jit (see child_randlanet
     for why) and return rows/sec."""
-    import time
-
     import jax
     import jax.numpy as jnp
 
@@ -309,6 +391,7 @@ def _chained_throughput(apply_fn, variables, batch, rows_per_iter,
 
 
 def _lidar_cloud(n, seed=0, r_max=50.0):
+    import numpy as np
     rng = np.random.default_rng(seed)
     r = 2.0 * (r_max / 2.0) ** rng.uniform(0, 1, n)
     th = rng.uniform(0, 2 * np.pi, n)
@@ -316,7 +399,7 @@ def _lidar_cloud(n, seed=0, r_max=50.0):
                      rng.uniform(-2, 1, n)], 1).astype(np.float32)
 
 
-def bench_kpconv():
+def child_kpconv():
     """KPFCNN SemanticKITTI-config on-device forward points/sec.
 
     The radius-neighbor pyramid is host-built in dataloader workers
@@ -326,17 +409,16 @@ def bench_kpconv():
     patch. Anchor: ~0.3M pts/s (KPConv paper reports ~100 ms forwards for
     ~15k-pt batches on a GTX 1080Ti; doubled for a modern GPU).
     """
-    import os
-
+    _setup_jax()
     import jax
     import jax.numpy as jnp
+    import numpy as np
     from open3d_ml_tpu.dataloaders import DefaultBatcher
     from open3d_ml_tpu.datasets.samplers import SemSegRandomSampler
     from open3d_ml_tpu.models import KPFCNN
     from open3d_ml_tpu.utils import Config
 
-    cfg_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "open3d_ml_tpu", "configs",
+    cfg_path = os.path.join(_HERE, "open3d_ml_tpu", "configs",
                             "kpconv_semantickitti.yml")
     cfg = Config.load_from_file(cfg_path)
     model_cfg = dict(cfg.model)
@@ -361,10 +443,11 @@ def bench_kpconv():
     pps = _chained_throughput(
         lambda v, b: net.apply(v, b, training=False), variables, batch,
         rows_per_iter=model.cfg.num_points)
-    return pps
+    return {"kpconv_points_per_sec": round(pps, 1),
+            "kpconv_vs_baseline": round(pps / REFERENCE_KPCONV_PPS, 3)}
 
 
-def bench_sparseconvunet():
+def child_sparseconvunet():
     """SparseConvUnet ScanNet-config on-device forward points/sec.
 
     Whole program on device: voxel hash + rulebook construction + 7-level
@@ -372,15 +455,14 @@ def bench_sparseconvunet():
     ~1.0M pts/s (TorchSparse-class runtimes: a ~100k-pt ScanNet scene in
     ~100 ms on a modern GPU).
     """
-    import os
-
+    _setup_jax()
     import jax
     import jax.numpy as jnp
+    import numpy as np
     from open3d_ml_tpu.models import SparseConvUnet
     from open3d_ml_tpu.utils import Config
 
-    cfg_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "open3d_ml_tpu", "configs",
+    cfg_path = os.path.join(_HERE, "open3d_ml_tpu", "configs",
                             "sparseconvunet_scannet.yml")
     cfg = Config.load_from_file(cfg_path)
     model_cfg = dict(cfg.model)
@@ -403,12 +485,14 @@ def bench_sparseconvunet():
     key = jax.random.PRNGKey(0)
     variables = jax.jit(
         lambda b: net.init({"params": key}, b, training=False))(batch)
-    return _chained_throughput(
+    pps = _chained_throughput(
         lambda v, b: net.apply(v, b, training=False), variables, batch,
         rows_per_iter=n, iters=5)
+    return {"sparseconvunet_points_per_sec": round(pps, 1),
+            "sparseconvunet_vs_baseline": round(pps / REFERENCE_SCU_PPS, 3)}
 
 
-def bench_pointtransformer():
+def child_pointtransformer():
     """PointTransformer S3DIS-config on-device forward points/sec.
 
     Whole program on device: FPS transition-downs, KNN vector
@@ -416,15 +500,14 @@ def bench_pointtransformer():
     batch 2. Anchor: ~0.3M pts/s (the reference vector-attention
     implementation runs S3DIS rooms at hundreds of ms on a modern GPU).
     """
-    import os
-
+    _setup_jax()
     import jax
     import jax.numpy as jnp
+    import numpy as np
     from open3d_ml_tpu.models import PointTransformer
     from open3d_ml_tpu.utils import Config
 
-    cfg_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "open3d_ml_tpu", "configs",
+    cfg_path = os.path.join(_HERE, "open3d_ml_tpu", "configs",
                             "pointtransformer_s3dis.yml")
     cfg = Config.load_from_file(cfg_path)
     model_cfg = dict(cfg.model)
@@ -442,14 +525,89 @@ def bench_pointtransformer():
     key = jax.random.PRNGKey(0)
     variables = jax.jit(
         lambda bb: net.init({"params": key}, bb, training=False))(batch)
-    return _chained_throughput(
+    pps = _chained_throughput(
         lambda v, bb: net.apply(v, bb, training=False), variables, batch,
         rows_per_iter=b * n, iters=5)
+    return {"pointtransformer_points_per_sec": round(pps, 1),
+            "pointtransformer_vs_baseline": round(pps / REFERENCE_PT_PPS,
+                                                  3)}
 
 
-REFERENCE_KPCONV_PPS = 3.0e5
-REFERENCE_SCU_PPS = 1.0e6
-REFERENCE_PT_PPS = 3.0e5
+def child_selftest():
+    """Instant no-JAX metric, used by tests of the watchdog machinery."""
+    return {"selftest": 1}
+
+
+def child_selfhang():
+    """Deliberately blocks forever (simulates a hung TPU relay), used by
+    tests of the watchdog machinery. Only reachable via BENCH_METRICS."""
+    time.sleep(3600)
+    return {}
+
+
+_CHILDREN = {
+    "probe": child_probe,
+    "randlanet": child_randlanet,
+    "pointpillars": child_pointpillars,
+    "kpconv": child_kpconv,
+    "sparseconvunet": child_sparseconvunet,
+    "pointtransformer": child_pointtransformer,
+    "train": child_train,
+    "_selftest": child_selftest,
+    "_selfhang": child_selfhang,
+}
+
+
+def _child_main(name):
+    """Run one metric and print its fields as the last stdout line.
+    Exceptions are recorded as `<name>_error`; the child still exits 0
+    (the parent treats a missing JSON line as an error too)."""
+    try:
+        out = _CHILDREN[name]()
+    except Exception:  # noqa: BLE001 - record, never traceback
+        key = "error" if name == "probe" else f"{name}_error"
+        out = {key: traceback.format_exc(limit=3)[-800:]}
+    sys.stdout.flush()
+    print("\n" + json.dumps(out), flush=True)
+
+
+# ------------------------------------------------------------------ parent
+
+def _run_child(name, timeout):
+    """Run one metric subprocess under a wall-clock watchdog. Returns a
+    dict of fields (possibly `<name>_error`). Never raises."""
+    err_key = "error" if name == "probe" else f"{name}_error"
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", name],
+            capture_output=True, text=True, timeout=timeout, cwd=_HERE)
+    except subprocess.TimeoutExpired:
+        return {err_key: f"timed out after {timeout:.0f}s "
+                         "(hung backend?)", "_timeout": True}
+    except Exception:  # noqa: BLE001
+        return {err_key: traceback.format_exc(limit=2)[-400:]}
+    for line in reversed((proc.stdout or "").splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except ValueError:
+                continue
+    return {err_key: f"child rc={proc.returncode}, no JSON: "
+                     f"{(proc.stderr or '')[-400:]}"}
+
+
+def _emit(record):
+    """Print the cumulative record as one flushed JSON line and mirror it
+    to BENCH_partial.json — so a kill at ANY moment leaves every completed
+    metric both on stdout and on disk."""
+    print(json.dumps(record), flush=True)
+    try:
+        with open("BENCH_partial.json.tmp", "w") as f:
+            json.dump(record, f, indent=1)
+        os.replace("BENCH_partial.json.tmp", "BENCH_partial.json")
+    except OSError:
+        pass
 
 
 def main():
@@ -459,62 +617,47 @@ def main():
         "unit": "points/sec/chip",
         "vs_baseline": 0.0,
     }
-    try:
-        devs = _probe_devices()
-        record["device_kind"] = getattr(devs[0], "device_kind", "unknown")
-        pps, flops_fwd, mfu = bench_randlanet()
-        record["value"] = round(pps, 1)
-        record["vs_baseline"] = round(pps / REFERENCE_POINTS_PER_SEC, 3)
-        record["model_flops_per_fwd"] = round(flops_fwd)
-        record["mfu"] = round(mfu, 5)
-    except Exception:  # noqa: BLE001 - record, never traceback
-        record["error"] = traceback.format_exc(limit=3)[-800:]
-        print(json.dumps(record))
+    probe_timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", 240))
+    metric_timeout = float(os.environ.get("BENCH_METRIC_TIMEOUT", 900))
+    train_timeout = float(os.environ.get("BENCH_TRAIN_TIMEOUT", 1200))
+
+    if os.environ.get("BENCH_METRICS"):
+        names = [n.strip() for n in
+                 os.environ["BENCH_METRICS"].split(",") if n.strip()]
+    elif os.environ.get("BENCH_QUICK"):
+        names = ["randlanet", "pointpillars"]
+    else:
+        names = ["randlanet", "pointpillars", "kpconv", "sparseconvunet",
+                 "pointtransformer"]
+        if not os.environ.get("BENCH_NO_TRAIN"):
+            names.append("train")
+
+    probe = _run_child("probe", probe_timeout)
+    probe.pop("_timeout", None)
+    record.update(probe)
+    if "error" in record:
+        _emit(record)
         return
+    _emit(record)
 
-    try:
-        sps, pp_flops, pp_mfu = bench_pointpillars()
-        record["pointpillars_scans_per_sec"] = round(sps, 2)
-        record["pointpillars_vs_baseline"] = round(
-            sps / REFERENCE_PP_SCANS_PER_SEC, 3)
-        record["pointpillars_mfu"] = round(pp_mfu, 5)
-    except Exception:  # noqa: BLE001 - secondary metric must not kill run
-        record["pointpillars_error"] = traceback.format_exc(limit=2)[-400:]
-
-    # secondary-config throughputs (BASELINE.json names these configs);
-    # each records independently and must not kill the run. BENCH_QUICK=1
-    # skips them (and the train metric) for fast iteration.
-    import os
-    if not os.environ.get("BENCH_QUICK"):
-        for field, anchor, fn in (
-                ("kpconv_points_per_sec", REFERENCE_KPCONV_PPS,
-                 bench_kpconv),
-                ("sparseconvunet_points_per_sec", REFERENCE_SCU_PPS,
-                 bench_sparseconvunet),
-                ("pointtransformer_points_per_sec", REFERENCE_PT_PPS,
-                 bench_pointtransformer)):
-            try:
-                pps = fn()
-                record[field] = round(pps, 1)
-                record[field.replace("_points_per_sec", "_vs_baseline")] = \
-                    round(pps / anchor, 3)
-            except Exception:  # noqa: BLE001
-                record[field + "_error"] = \
-                    traceback.format_exc(limit=2)[-300:]
-
-    # train throughput is part of the default record (VERDICT r2 #4); the
-    # multi-minute cold compile is bounded by the persistent compile cache
-    # set up in _probe_devices. BENCH_NO_TRAIN=1 skips it for quick runs.
-    if not os.environ.get("BENCH_NO_TRAIN") and \
-            not os.environ.get("BENCH_QUICK"):
-        try:
-            tps = bench_randlanet_train()
-            record["randlanet_train_points_per_sec"] = round(tps, 1)
-        except Exception:  # noqa: BLE001 - must not kill the run
-            record["train_error"] = traceback.format_exc(limit=2)[-400:]
-
-    print(json.dumps(record))
+    consecutive_timeouts = 0
+    for name in names:
+        out = _run_child(
+            name, train_timeout if name == "train" else metric_timeout)
+        timed_out = out.pop("_timeout", False)
+        record.update(out)
+        _emit(record)
+        consecutive_timeouts = consecutive_timeouts + 1 if timed_out else 0
+        if consecutive_timeouts >= 2:
+            record["error"] = ("two consecutive metric timeouts — "
+                               "backend presumed dead, bailing with "
+                               "partial record")
+            _emit(record)
+            return
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--child":
+        _child_main(sys.argv[2])
+    else:
+        main()

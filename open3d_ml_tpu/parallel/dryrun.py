@@ -30,15 +30,10 @@ def dryrun_train_step(n_devices, num_points=256, num_classes=8,
 
     # Persistent compilation cache: the dryrun is compile-dominated on the
     # virtual CPU mesh; repeat runs on the same machine become near-instant.
-    try:
-        import os
-        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "..", "..", ".jax_cache")
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.abspath(cache_dir))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    # Shared with the pipelines and bench.py (OPEN3D_ML_TPU_COMPILE_CACHE
+    # overrides the location).
+    from ..pipelines.base_pipeline import _enable_compile_cache
+    _enable_compile_cache()
 
     if model_parallel is None:
         model_parallel = 2 if n_devices >= 4 and n_devices % 2 == 0 else 1
@@ -140,15 +135,8 @@ def dryrun_objdet_step(n_devices):
     """
     from ..models import PointPillars
 
-    try:
-        import os
-        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "..", "..", ".jax_cache")
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.abspath(cache_dir))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from ..pipelines.base_pipeline import _enable_compile_cache
+    _enable_compile_cache()
 
     devices = jax.devices()[:n_devices]
     mesh = Mesh(np.asarray(devices), axis_names=("data",))
