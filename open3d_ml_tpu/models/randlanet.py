@@ -461,10 +461,17 @@ class RandLANet(BaseModel):
                  knn_on_device=True,
                  knn_method="fused",
                  grid_cells=None,
-                 seg=128,
+                 # Fused-KNN table budget: the ACCURACY_r03_hilbert.json
+                 # study's accuracy-neutral winner (seg64/qb128/S64/G32,
+                 # measured delta -0.03 mIoU vs the exact path on a trained
+                 # 64-mIoU model at this patch scale). Shrinking num_segs /
+                 # gather_segs below the studied values costs real mIoU
+                 # (S=8 measured -29.5; G16 measured +5.1) — see
+                 # docs/accuracy.md before touching these.
+                 seg=64,
                  block=128,
-                 num_segs=8,
-                 gather_segs=0,
+                 num_segs=64,
+                 gather_segs=32,
                  gather_qblock=0,
                  up_segs=0,
                  presorted=False,
