@@ -27,8 +27,11 @@ class BatchedNet(nn.Module):
             # the net (one value per sample; summed by regularizer_loss)
             # "kp_points": KPConv kernel-point dispositions — generated at
             # init, overwritten by zoo-checkpoint conversion (broadcast)
+            # "intermediates": diagnostics sown per sample (e.g.
+            # SparseConvUnet's site-cap overflow counters)
             variable_axes={"params": None, "batch_stats": None,
-                           "p2p_reg": 0, "kp_points": None},
+                           "p2p_reg": 0, "kp_points": None,
+                           "intermediates": 0},
             split_rngs={"params": False, "dropout": True},
             in_axes=(0,),
             out_axes=0,

@@ -126,6 +126,13 @@ class SparseConvUnetNet(nn.Module):
     # bf16 conv compute (gathers + GEMMs; BN/logits stay f32). The ScanNet
     # config ships bf16; float32 (default) for parity work and CPU tests.
     compute_dtype: str | None = None
+    # Site caps silently truncate when a level's active-site count exceeds
+    # them; that must never be invisible. Overflow counts are always sown
+    # ("intermediates" collection: voxel_overflow_points,
+    # l{i}_down_overflow_children) and, when this flag is on, a host
+    # callback logs a warning whenever any count is nonzero (one scalar
+    # transfer per forward — negligible vs the 65k-point program).
+    warn_on_overflow: bool = True
 
     @nn.compact
     def __call__(self, inputs, training=False):
@@ -157,6 +164,12 @@ class SparseConvUnetNet(nn.Module):
         # gather moved 5M feature rows) and for devoxelization at the end.
         point_site = vd.point_to_voxel  # [N] (sentinel cap)
         valid_pt = (point_site < cap) & pmask
+        # points living in voxels beyond the max_voxels cap: real input
+        # silently invisible to the network if > 0 (see warn_on_overflow)
+        voxel_overflow_pts = jnp.sum(pmask & ~valid_pt).astype(jnp.int32)
+        self.sow("intermediates", "voxel_overflow_points",
+                 voxel_overflow_pts)
+        level_drops = []  # filled by u_level at trace time
         fsum = jax.ops.segment_sum(
             jnp.where(valid_pt[:, None], feat_in, 0.0), point_site,
             num_segments=cap + 1)[:cap]
@@ -189,6 +202,12 @@ class SparseConvUnetNet(nn.Module):
             dcap = caps[level + 1]
             pcoords, pmask_lvl, parent_idx, off_idx = downsample_sites(
                 coords, mask, dcap)
+            # children whose parent site fell beyond the level cap were
+            # silently truncated out of the deeper levels
+            dropped = jnp.sum(mask & (parent_idx == dcap)).astype(jnp.int32)
+            self.sow("intermediates", f"l{level}_down_overflow_children",
+                     dropped)
+            level_drops.append(dropped)
             # conv k2: each parent gathers children at 2*p + {0,1}^3
             offs8 = kernel_offsets(2, centered=False)
             child_q = (pcoords[:, None, :] * 2 +
@@ -232,6 +251,22 @@ class SparseConvUnetNet(nn.Module):
             return z
 
         feat = u_level(0, feat, coords, mask, rulebook)
+
+        if self.warn_on_overflow:
+            def _warn_overflow(n0, drops):
+                import logging
+                if int(n0) > 0 or any(int(d) > 0 for d in drops):
+                    logging.getLogger(__name__).warning(
+                        "SparseConvUnet site caps saturated: %d points in "
+                        "over-cap voxels at level 0, per-level truncated "
+                        "children %s — output silently ignores real input; "
+                        "raise max_voxels / level_caps (see "
+                        "SparseConvUnetNet.level_caps).",
+                        int(n0), [int(d) for d in drops])
+            jax.debug.callback(
+                _warn_overflow, voxel_overflow_pts,
+                jnp.stack(level_drops) if level_drops else
+                jnp.zeros((0,), jnp.int32))
 
         feat = MaskedBatchNorm(momentum=self.bn_momentum,
                                epsilon=self.bn_eps,

@@ -159,6 +159,53 @@ class TestSparseConvUnet:
                               mutable=["batch_stats"])
         assert bool(jnp.isfinite(out2).all())
 
+    def test_site_cap_overflow_is_counted_and_warned(self, rng, caplog):
+        """Site caps must never truncate silently: when a level's active
+        sites exceed its cap, the sown overflow counters are nonzero and
+        a host-callback warning fires; with generous caps both stay
+        silent (ADVICE r3: downsample_sites truncation was invisible)."""
+        import logging
+        from open3d_ml_tpu.models.sparseconvunet import SparseConvUnetNet
+        n = 512
+        # 512 distinct occupied voxels, spread so every level overflows a
+        # tiny 64-site cap pyramid
+        pts = np.stack(np.unravel_index(np.arange(n) * 7 % 4096,
+                                        (16, 16, 16)), 1)
+        pts = (pts * 4).astype(np.float32) + 0.5
+        batch = {
+            "point": jnp.asarray(pts[None]),
+            "feat": jnp.asarray(rng.standard_normal((1, n, 3)), jnp.float32),
+            "point_mask": jnp.ones((1, n), bool),
+        }
+
+        def run(max_voxels, level_caps):
+            from open3d_ml_tpu.models.common import BatchedNet
+            net = BatchedNet(net=SparseConvUnetNet(
+                in_channels=3, num_classes=5, multiplier=4, num_levels=3,
+                max_voxels=max_voxels, level_caps=level_caps))
+            v = net.init({"params": jax.random.PRNGKey(0)}, batch,
+                         training=False)
+            _, inter = net.apply(v, batch, training=False,
+                                 mutable=["intermediates"])
+            jax.effects_barrier()
+            return jax.tree.leaves(inter)
+
+        with caplog.at_level(logging.WARNING,
+                             "open3d_ml_tpu.models.sparseconvunet"):
+            leaves = run(64, (64, 64, 64))
+        assert sum(int(np.asarray(x).sum()) for x in leaves) > 0
+        assert any("caps saturated" in r.message for r in caplog.records)
+
+        caplog.clear()
+        with caplog.at_level(logging.WARNING,
+                             "open3d_ml_tpu.models.sparseconvunet"):
+            # the 512 sites stay distinct through coords//2 and //4
+            # (spacing 4), so every level needs >= 512 slots
+            leaves = run(1024, (1024, 512, 512))
+        assert sum(int(np.asarray(x).sum()) for x in leaves) == 0
+        assert not any("caps saturated" in r.message
+                       for r in caplog.records)
+
     def test_masked_bn_ignores_padding(self, rng):
         from open3d_ml_tpu.models.common import MaskedBatchNorm
 
