@@ -58,13 +58,10 @@ def bench_cfg(seg, block, num_segs, gather_segs=0, up_segs=0,
 
 
 def main():
-    import os
-
     import jax
-    cache = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from open3d_ml_tpu.pipelines.base_pipeline import _enable_compile_cache
+    _enable_compile_cache()
     cfgs = [tuple(int(x) for x in a.split(",")) for a in sys.argv[1:]] or [
         (128, 128, 8), (64, 128, 48), (64, 128, 64), (128, 128, 32)]
     print(json.dumps({"device": jax.devices()[0].device_kind}))
