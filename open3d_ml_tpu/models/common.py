@@ -46,11 +46,14 @@ def batch_norm(training, name=None, epsilon=1e-5, momentum=0.9):
 
 
 class MaskedBatchNorm(nn.Module):
-    """BatchNorm over the valid rows of a padded [V, C] tensor.
+    """BatchNorm over the valid rows of a padded [..., V, C] tensor.
 
     Padded rows must not contaminate batch statistics, so mean/var are
-    computed with the mask and synced across the vmapped batch axis via
-    psum (torch BN-over-active-sites semantics for sparse voxel nets).
+    computed with the mask, reduced over every non-channel axis, and —
+    when the net is run per sample under nn.vmap — synced across the
+    mapped axis via psum (torch BN-over-active-sites semantics for sparse
+    voxel nets). Batched nets ([B, V, C] inputs, e.g. the bucket conv
+    path) pass axis_name=None: the leading axis is already reduced.
     """
     momentum: float = 0.9
     epsilon: float = 1e-5
@@ -67,10 +70,11 @@ class MaskedBatchNorm(nn.Module):
                                lambda: jnp.ones((c,)))
 
         if training:
-            m = mask[:, None].astype(x.dtype)
+            red = tuple(range(x.ndim - 1))
+            m = mask[..., None].astype(x.dtype)
             cnt = jnp.sum(m)
-            s = jnp.sum(x * m, axis=0)
-            s2 = jnp.sum(x * x * m, axis=0)
+            s = jnp.sum(x * m, axis=red)
+            s2 = jnp.sum(x * x * m, axis=red)
             if self.axis_name is not None:
                 cnt = jax.lax.psum(cnt, self.axis_name)
                 s = jax.lax.psum(s, self.axis_name)
@@ -87,4 +91,4 @@ class MaskedBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
 
         y = (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
-        return jnp.where(mask[:, None], y, 0.0)
+        return jnp.where(mask[..., None], y, 0.0)

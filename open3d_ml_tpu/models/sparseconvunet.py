@@ -26,27 +26,84 @@ from ..modules.losses import filter_valid_label
 from ..ops.sparse import (SiteHash, apply_sparse_conv,
                           apply_sparse_conv_transpose, build_rulebook,
                           downsample_sites, kernel_offsets)
+from ..ops.sparse_bucket import (BucketCtx, bucket_downsample, gather_taps,
+                                 match_stencil, rank_site_segments,
+                                 sort_sites, support_points)
 from ..ops.voxelize import voxelize
 from ..utils import MODEL
 from .base_model import BaseModel
-from .common import BatchedNet, MaskedBatchNorm
+from .common import MaskedBatchNorm
+
+_HOST_CB_OK = None
+
+
+def _host_callbacks_supported():
+    """True when the backend can run jax.debug.callback.
+
+    The axon TPU relay raises UNIMPLEMENTED for host send/recv callbacks at
+    compile time, which would turn the overflow *warning* into a hard
+    forward failure on the one backend the model ships for. Probe once
+    with a tiny program; the sown overflow counters (intermediates
+    collection) remain available everywhere regardless.
+    """
+    global _HOST_CB_OK
+    if _HOST_CB_OK is None:
+        from jax._src import core as _core
+        if not _core.trace_state_clean():
+            # Under an outer trace (nn.compact under jit) the probe's jit
+            # would be STAGED into the caller's program — callback
+            # included — and the axon relay self-reports as plain "tpu",
+            # so there is no name to gate on either. Fail safe: no warning
+            # callback (the sown counters remain). SparseConvUnet.get_net()
+            # probes eagerly before tracing, so pipeline users get the
+            # warning wherever the backend supports it.
+            return False
+        try:
+            jax.jit(lambda x: jax.debug.callback(lambda v: None, x)
+                    or x)(jnp.zeros(())).block_until_ready()
+            _HOST_CB_OK = True
+        except Exception:  # UNIMPLEMENTED on axon; conservative on any
+            _HOST_CB_OK = False
+    return _HOST_CB_OK
 
 
 class SubmanifoldConv(nn.Module):
     """3x3x3 submanifold conv: same active sites in and out
-    (reference SubmanifoldSparseConv :344-383)."""
+    (reference SubmanifoldSparseConv :344-383).
+
+    Accepts either a dense [V, K] rulebook (hash path, single sample) or a
+    BucketCtx (block-table path, batched [B, V, C] features). The weight
+    layout [K, Cin, Cout] and the offset order are identical in both, so
+    one parameter tree serves both execution paths.
+    """
     filters: int
     compute_dtype: str | None = None
 
     @nn.compact
-    def __call__(self, feat, rulebook, mask):
-        k = rulebook.shape[1]
+    def __call__(self, feat, ctx, mask):
+        if isinstance(ctx, BucketCtx):
+            k = ctx.rel.shape[-1]
+            cin = feat.shape[-1]
+            w = self.param(
+                "kernel",
+                nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
+                (k, cin, self.filters))
+            g = gather_taps(feat, ctx, compute_dtype=self.compute_dtype)
+            cdt = jnp.dtype(self.compute_dtype) if self.compute_dtype \
+                else jnp.float32
+            out = jax.lax.dot_general(
+                g.reshape(*g.shape[:-2], k * cin).astype(cdt),
+                w.reshape(k * cin, self.filters).astype(cdt),
+                dimension_numbers=(((g.ndim - 2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return jnp.where(mask[..., None], out, 0.0)
+        k = ctx.shape[1]
         cin = feat.shape[-1]
         w = self.param(
             "kernel",
             nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
             (k, cin, self.filters))
-        return apply_sparse_conv(feat, rulebook, w, out_mask=mask,
+        return apply_sparse_conv(feat, ctx, w, out_mask=mask,
                                  compute_dtype=self.compute_dtype)
 
 
@@ -57,16 +114,18 @@ class SCBlock(nn.Module):
     bn_eps: float = 1e-4
     bn_momentum: float = 0.99
     compute_dtype: str | None = None
+    bn_axis: str | None = "batch"
 
     @nn.compact
-    def __call__(self, feat, rulebook, mask, training=False):
+    def __call__(self, feat, ctx, mask, training=False):
         x = MaskedBatchNorm(momentum=self.bn_momentum,
-                            epsilon=self.bn_eps, name="bn")(
+                            epsilon=self.bn_eps, axis_name=self.bn_axis,
+                            name="bn")(
             feat, mask, training=training)
         x = nn.relu(x)
         return SubmanifoldConv(self.filters,
                                compute_dtype=self.compute_dtype,
-                               name="conv")(x, rulebook, mask)
+                               name="conv")(x, ctx, mask)
 
 
 class ResidualSCBlock(nn.Module):
@@ -75,9 +134,10 @@ class ResidualSCBlock(nn.Module):
     bn_eps: float = 1e-4
     bn_momentum: float = 0.99
     compute_dtype: str | None = None
+    bn_axis: str | None = "batch"
 
     @nn.compact
-    def __call__(self, feat, rulebook, mask, training=False):
+    def __call__(self, feat, ctx, mask, training=False):
         cin = feat.shape[-1]
         if cin == self.filters:
             shortcut = feat
@@ -85,19 +145,21 @@ class ResidualSCBlock(nn.Module):
             shortcut = nn.Dense(self.filters, use_bias=False,
                                 name="lin")(feat)
         x = MaskedBatchNorm(momentum=self.bn_momentum,
-                            epsilon=self.bn_eps, name="bn1")(
+                            epsilon=self.bn_eps, axis_name=self.bn_axis,
+                            name="bn1")(
             feat, mask, training=training)
         x = nn.relu(x)
         x = SubmanifoldConv(self.filters,
                             compute_dtype=self.compute_dtype,
-                            name="conv1")(x, rulebook, mask)
+                            name="conv1")(x, ctx, mask)
         x = MaskedBatchNorm(momentum=self.bn_momentum,
-                            epsilon=self.bn_eps, name="bn2")(
+                            epsilon=self.bn_eps, axis_name=self.bn_axis,
+                            name="bn2")(
             x, mask, training=training)
         x = nn.relu(x)
         x = SubmanifoldConv(self.filters,
                             compute_dtype=self.compute_dtype,
-                            name="conv2")(x, rulebook, mask)
+                            name="conv2")(x, ctx, mask)
         return shortcut + x
 
 
@@ -133,9 +195,27 @@ class SparseConvUnetNet(nn.Module):
     # callback logs a warning whenever any count is nonzero (one scalar
     # transfer per forward — negligible vs the 65k-point program).
     warn_on_overflow: bool = True
+    # Conv execution strategy:
+    # * "hash": sort+searchsorted rulebooks and XLA row-gather convs, one
+    #   sample at a time under nn.vmap — the reference-semantics twin used
+    #   for evaluation and parity work.
+    # * "bucket": Morton-sorted block-table rulebooks (one knn_pallas(k=1)
+    #   match per stencil) and one-hot MXU gather convs over the WHOLE
+    #   batch (ops/sparse_bucket.py). Same math when the sown
+    #   table_overflow_blocks counter is 0 (segment tables provably cover
+    #   every stencil tap); ~20x faster on TPU.
+    conv_method: str = "hash"
+    bucket_seg: int = 64     # sites per Morton segment
+    bucket_qblock: int = 32  # sites per query block (one candidate table)
+    bucket_segs: int = 16    # candidate segments kept per block (S)
 
     @nn.compact
     def __call__(self, inputs, training=False):
+        if self.conv_method == "bucket":
+            return self._forward_bucket(inputs, training)
+        return self._forward_hash(inputs, training)
+
+    def _forward_hash(self, inputs, training):
         m = self.multiplier
         planes = [m * (i + 1) for i in range(self.num_levels)]
         block_cls = ResidualSCBlock if self.residual_blocks else SCBlock
@@ -252,7 +332,7 @@ class SparseConvUnetNet(nn.Module):
 
         feat = u_level(0, feat, coords, mask, rulebook)
 
-        if self.warn_on_overflow:
+        if self.warn_on_overflow and _host_callbacks_supported():
             def _warn_overflow(n0, drops):
                 import logging
                 if int(n0) > 0 or any(int(d) > 0 for d in drops):
@@ -281,6 +361,229 @@ class SparseConvUnetNet(nn.Module):
              jnp.zeros((1, self.num_classes), logits_vox.dtype)], axis=0)
         return logits_pad[point_site]  # [N, num_classes]
 
+    def _forward_bucket(self, inputs, training):
+        """Batched block-table forward: [B, N, .] in, [B, N, classes] out.
+
+        Same parameter tree and offset order as the hash path — the two
+        paths are checkpoint-interchangeable; tests pin their outputs
+        equal at f32 (tests/test_models_semseg.py).
+        """
+        m = self.multiplier
+        planes = [m * (i + 1) for i in range(self.num_levels)]
+        block_cls = ResidualSCBlock if self.residual_blocks else SCBlock
+        offs27 = kernel_offsets(3, centered=True)
+        offs8 = kernel_offsets(2, centered=False)
+        caps = list(self.level_caps) or [
+            max(((self.max_voxels >> i) + 7) & ~7, 64)
+            for i in range(self.num_levels)
+        ]
+        interpret = jax.default_backend() == "cpu"
+        seg = self.bucket_seg
+        qblock = self.bucket_qblock
+        s_cand = self.bucket_segs
+        cdt = self.compute_dtype
+        gd = jnp.dtype(cdt) if cdt else jnp.float32
+        winit = nn.initializers.variance_scaling(1.0, "fan_in", "normal")
+
+        points = inputs["point"]  # [B, N, 3]
+        feat_in = inputs["feat"]
+        pmask = inputs.get("point_mask")
+        if pmask is None:
+            pmask = jnp.ones(points.shape[:2], bool)
+        b = points.shape[0]
+        cap = self.max_voxels
+
+        vd = jax.vmap(lambda p, pm: voxelize(
+            p, (1.0, 1.0, 1.0), (0.0, 0.0, 0.0), (1024.0, 1024.0, 1024.0),
+            cap, 1024 // 8, points_mask=pm))(points, pmask)
+        # one Morton sort; every deeper level inherits the order (parent
+        # key = child key >> 3 is monotone along it)
+        coords, mask, mkey, inv_perm = sort_sites(vd.coords, vd.voxel_mask)
+        nvalid = jnp.sum(mask, axis=1).astype(jnp.int32)
+        inv_pad = jnp.concatenate(
+            [inv_perm, jnp.full((b, 1), cap, jnp.int32)], axis=1)
+        point_site = jnp.take_along_axis(inv_pad, vd.point_to_voxel, axis=1)
+        valid_pt = (vd.point_to_voxel < cap) & pmask
+        point_site = jnp.where(valid_pt, point_site, cap)
+        voxel_overflow_pts = jnp.sum(pmask & ~valid_pt).astype(jnp.int32)
+        self.sow("intermediates", "voxel_overflow_points",
+                 voxel_overflow_pts)
+        level_drops = []
+        table_ovf = []  # [B]-shaped per-table exactness shortfalls
+
+        def mean_one(f, ps, vp):
+            fs = jax.ops.segment_sum(jnp.where(vp[:, None], f, 0.0), ps,
+                                     num_segments=cap + 1)[:cap]
+            cnt = jax.ops.segment_sum(vp.astype(jnp.float32), ps,
+                                      num_segments=cap + 1)[:cap]
+            return fs / jnp.maximum(cnt, 1.0)[:, None]
+
+        feat = jax.vmap(mean_one)(feat_in, point_site, valid_pt)
+
+        def make_sub_ctx(coords, mask, nv):
+            sup = support_points(coords, mask, seg)
+            seg_ids, ovf = rank_site_segments(
+                sup, nv, coords.astype(jnp.float32), nv, seg=seg,
+                qblock=qblock, num_segs=s_cand, reach=1.74)
+            sites_q = jnp.where(mask[..., None],
+                                coords.astype(jnp.float32), 2e9)
+            rel, found = match_stencil(sup, sites_q, offs27, seg_ids,
+                                       seg=seg, qblock=qblock,
+                                       interpret=interpret)
+            table_ovf.append(ovf)
+            return BucketCtx(seg_ids, rel, found, seg, qblock, interpret)
+
+        ctx0 = make_sub_ctx(coords, mask, nvalid)
+        feat = SubmanifoldConv(m, compute_dtype=cdt,
+                               name="input_conv")(feat, ctx0, mask)
+
+        def u_level(level, feat, coords, mask, nv, mkey, ctx):
+            p = planes[level]
+            for r in range(self.conv_block_reps):
+                feat = block_cls(p, bn_eps=self.bn_eps,
+                                 bn_momentum=self.bn_momentum,
+                                 compute_dtype=cdt, bn_axis=None,
+                                 name=f"l{level}_block{r}")(
+                    feat, ctx, mask, training=training)
+            if level == self.num_levels - 1:
+                return feat
+            x = MaskedBatchNorm(momentum=self.bn_momentum,
+                                epsilon=self.bn_eps, axis_name=None,
+                                name=f"l{level}_down_bn")(
+                feat, mask, training=training)
+            x = nn.relu(x)
+            dcap = caps[level + 1]
+            pcoords, pmask_l, pkey, off_idx, dropped = bucket_downsample(
+                coords, mask, mkey, dcap)
+            dropped_all = jnp.sum(dropped).astype(jnp.int32)
+            self.sow("intermediates", f"l{level}_down_overflow_children",
+                     dropped_all)
+            level_drops.append(dropped_all)
+            npar = jnp.sum(pmask_l, axis=1).astype(jnp.int32)
+
+            # down conv k2 s2: support = fine sites, queries = parent
+            # corners (2*p + {0,1}^3, max reach sqrt(3))
+            sup_f = support_points(coords, mask, seg)
+            pq = jnp.where(pmask_l[..., None],
+                           (pcoords * 2).astype(jnp.float32), 2e9)
+            seg_ids_d, ovf_d = rank_site_segments(
+                sup_f, nv, pq, npar, seg=seg, qblock=qblock,
+                num_segs=s_cand, reach=1.74)
+            table_ovf.append(ovf_d)
+            rel_d, found_d = match_stencil(sup_f, pq, offs8, seg_ids_d,
+                                           seg=seg, qblock=qblock,
+                                           interpret=interpret)
+            ctx_d = BucketCtx(seg_ids_d, rel_d, found_d, seg, qblock,
+                              interpret)
+            cin = x.shape[-1]
+            w_down = self.param(f"l{level}_down_kernel", winit,
+                                (8, cin, planes[level + 1]))
+            g = gather_taps(x, ctx_d, compute_dtype=cdt)
+            x_down = jax.lax.dot_general(
+                g.reshape(b, dcap, 8 * cin).astype(gd),
+                w_down.reshape(8 * cin, planes[level + 1]).astype(gd),
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            x_down = jnp.where(pmask_l[..., None], x_down, 0.0)
+
+            ctx_p = make_sub_ctx(pcoords, pmask_l, npar)
+            x_deep = u_level(level + 1, x_down, pcoords, pmask_l, npar,
+                             pkey, ctx_p)
+
+            # up conv k2: gather each fine site's parent feature, then
+            # apply the weight slice of its intra-block offset
+            y = MaskedBatchNorm(momentum=self.bn_momentum,
+                                epsilon=self.bn_eps, axis_name=None,
+                                name=f"l{level}_up_bn")(
+                x_deep, pmask_l, training=training)
+            y = nn.relu(y)
+            supp = support_points(pcoords, pmask_l, seg)
+            fq = jnp.where(mask[..., None],
+                           (coords >> 1).astype(jnp.float32), 2e9)
+            up_qb = 128  # k=1: wider blocks keep the one-hot MXU tiles full
+            seg_ids_u, ovf_u = rank_site_segments(
+                supp, npar, fq, nv, seg=seg, qblock=up_qb,
+                num_segs=s_cand, reach=0.1)
+            table_ovf.append(ovf_u)
+            rel_u, found_u = match_stencil(
+                supp, fq, np.zeros((1, 3), np.int32), seg_ids_u, seg=seg,
+                qblock=up_qb, interpret=interpret)
+            ctx_u = BucketCtx(seg_ids_u, rel_u, found_u, seg, up_qb,
+                              interpret)
+            w_up = self.param(f"l{level}_up_kernel", winit,
+                              (8, planes[level + 1], p))
+            y_par = gather_taps(y, ctx_u, compute_dtype=cdt)[..., 0, :]
+            outs = jnp.einsum("bvc,kco->bvko", y_par.astype(gd),
+                              w_up.astype(gd),
+                              preferred_element_type=jnp.float32)
+            sel = jax.nn.one_hot(off_idx, 8, dtype=outs.dtype)
+            y_up = jnp.einsum("bvko,bvk->bvo", outs, sel)
+            y_up = jnp.where(mask[..., None], y_up, 0.0)
+
+            z = jnp.concatenate([feat, y_up], axis=-1)
+            for r in range(self.conv_block_reps):
+                z = block_cls(p, bn_eps=self.bn_eps,
+                              bn_momentum=self.bn_momentum,
+                              compute_dtype=cdt, bn_axis=None,
+                              name=f"l{level}_post{r}")(
+                    z, ctx, mask, training=training)
+            return z
+
+        feat = u_level(0, feat, coords, mask, nvalid, mkey, ctx0)
+
+        total_table_ovf = sum(jnp.sum(o) for o in table_ovf).astype(
+            jnp.int32)
+        self.sow("intermediates", "table_overflow_blocks", total_table_ovf)
+        if self.warn_on_overflow and _host_callbacks_supported():
+            def _warn_overflow(n0, drops, tovf):
+                import logging
+                if int(n0) > 0 or int(tovf) > 0 or \
+                        any(int(d) > 0 for d in drops):
+                    logging.getLogger(__name__).warning(
+                        "SparseConvUnet bucket path saturated: %d points "
+                        "in over-cap voxels, truncated children %s, %d "
+                        "blocks short of exact segment tables — raise "
+                        "max_voxels / level_caps / bucket_segs.",
+                        int(n0), [int(d) for d in drops], int(tovf))
+            jax.debug.callback(
+                _warn_overflow, voxel_overflow_pts,
+                jnp.stack(level_drops) if level_drops else
+                jnp.zeros((0,), jnp.int32), total_table_ovf)
+
+        feat = MaskedBatchNorm(momentum=self.bn_momentum,
+                               epsilon=self.bn_eps, axis_name=None,
+                               name="final_bn")(feat, mask,
+                                                training=training)
+        feat = nn.relu(feat)
+        logits = nn.Dense(self.num_classes, name="linear")(feat)
+        logits_pad = jnp.concatenate(
+            [logits, jnp.zeros((b, 1, self.num_classes), logits.dtype)],
+            axis=1)
+        return jnp.take_along_axis(
+            logits_pad, point_site[..., None], axis=1)  # [B, N, classes]
+
+
+class _SCUBatcher(nn.Module):
+    """Batch adapter: the bucket net consumes the whole [B, N, .] batch
+    (batched Pallas tables, BN over (B, V) natively); the hash net runs
+    per sample under nn.vmap. Same "net" field as BatchedNet, so both
+    paths share one parameter tree."""
+    net: nn.Module
+
+    @nn.compact
+    def __call__(self, inputs, training=False):
+        if self.net.conv_method == "bucket":
+            return self.net(inputs, training=training)
+        vnet = nn.vmap(
+            lambda mdl, x: mdl(x, training=training),
+            variable_axes={"params": None, "batch_stats": None,
+                           "intermediates": 0},
+            split_rngs={"params": False, "dropout": True},
+            in_axes=(0,),
+            out_axes=0,
+            axis_name="batch")
+        return vnet(self.net, inputs)
+
 
 class SparseConvUnet(BaseModel):
     """SparseConvUnet model wrapper: host pipeline + net + wiring."""
@@ -300,6 +603,10 @@ class SparseConvUnet(BaseModel):
                  ignored_label_inds=[],
                  batcher="DefaultBatcher",
                  augment=None,
+                 conv_method="bucket",
+                 bucket_seg=64,
+                 bucket_qblock=32,
+                 bucket_segs=16,
                  **kwargs):
         super().__init__(name=name,
                          multiplier=multiplier,
@@ -315,12 +622,17 @@ class SparseConvUnet(BaseModel):
                          ignored_label_inds=ignored_label_inds,
                          batcher=batcher,
                          augment=augment,
+                         conv_method=conv_method,
+                         bucket_seg=bucket_seg,
+                         bucket_qblock=bucket_qblock,
+                         bucket_segs=bucket_segs,
                          **kwargs)
         self.augmenter = SemsegAugmentation(self.cfg.augment, seed=self.rng)
 
-    def get_net(self):
+    def get_net(self, conv_method=None, compute_dtype="cfg"):
         cfg = self.cfg
-        return BatchedNet(net=SparseConvUnetNet(
+        _host_callbacks_supported()  # eager probe (outside any trace)
+        return _SCUBatcher(net=SparseConvUnetNet(
             in_channels=cfg.in_channels,
             num_classes=cfg.num_classes,
             multiplier=cfg.multiplier,
@@ -329,7 +641,20 @@ class SparseConvUnet(BaseModel):
             num_levels=cfg.num_levels,
             max_voxels=cfg.max_voxels,
             level_caps=tuple(cfg.get("level_caps") or ()),
-            compute_dtype=cfg.get("compute_dtype", None)))
+            compute_dtype=cfg.get("compute_dtype", None)
+            if compute_dtype == "cfg" else compute_dtype,
+            conv_method=conv_method or cfg.get("conv_method", "bucket"),
+            bucket_seg=cfg.get("bucket_seg", 64),
+            bucket_qblock=cfg.get("bucket_qblock", 32),
+            bucket_segs=cfg.get("bucket_segs", 16)))
+
+    def get_eval_net(self):
+        """Evaluation rides the hash path at f32: searchsorted rulebooks
+        and row-gather convs — the reference-exact twin
+        (/root/reference/ml3d/torch/models/sparseconvnet.py:294-487
+        semantics), independent of the bucket tables' segment budget.
+        Same parameter tree as the bucket net (see SubmanifoldConv)."""
+        return self.get_net(conv_method="hash", compute_dtype=None)
 
     def preprocess(self, data, attr, rng=None):
         """Scale to voxel units, augment, random grid placement, snap to

@@ -1,0 +1,143 @@
+"""Stage-level timing of the SparseConvUnet forward on the current backend.
+
+Times, separately jitted: (1) full model forward, (2) voxelize+input mean,
+(3) SiteHash+rulebook per level, (4) gather-GEMM convs with precomputed
+rulebooks, (5) downsample/unique, (6) searchsorted alone. Prints one JSON.
+Usage: python scripts/profile_scu.py [--iters 5]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def timeit(fn, *args, iters=5, name=None):
+    import jax
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    ms = (time.perf_counter() - t0) / iters * 1e3  # ms
+    if name:
+        print(f"{name}: {ms:.2f} ms", flush=True)
+    return ms
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--voxels", type=int, default=40000)
+    args = ap.parse_args()
+
+    from open3d_ml_tpu.pipelines.base_pipeline import _enable_compile_cache
+    _enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from open3d_ml_tpu.ops.sparse import (SiteHash, apply_sparse_conv,
+                                          build_rulebook, downsample_sites,
+                                          kernel_offsets)
+    from open3d_ml_tpu.ops.voxelize import voxelize
+
+    rec = {"device": str(jax.devices()[0])}
+    rng = np.random.default_rng(0)
+    n = 65536
+    pts = np.stack([rng.uniform(0, 400, n), rng.uniform(0, 400, n),
+                    rng.uniform(0, 150, n)], 1)
+    pts = (pts.astype(np.int32) + 0.5).astype(np.float32)
+    pts = jnp.asarray(pts)
+    pmask = jnp.ones((n,), bool)
+
+    cap = args.voxels
+    offs27 = kernel_offsets(3)
+
+    @jax.jit
+    def vox(pts):
+        vd = voxelize(pts, (1.0, 1.0, 1.0), (0.0, 0.0, 0.0),
+                      (1024.0, 1024.0, 1024.0), cap, 1024 // 8,
+                      points_mask=pmask)
+        return vd.coords, vd.voxel_mask, vd.point_to_voxel
+
+    coords, mask, p2v = vox(pts)
+    rec["voxelize_ms"] = timeit(vox, pts, iters=args.iters, name="voxelize_ms")
+
+    @jax.jit
+    def rb(coords, mask):
+        return build_rulebook(coords, mask, offs27)
+
+    rulebook = rb(coords, mask)
+    rec["rulebook40k_ms"] = timeit(rb, coords, mask, iters=args.iters, name="rulebook40k_ms")
+
+    # searchsorted alone at the same scale
+    key = jnp.sort(jnp.asarray(rng.integers(0, 1 << 30, cap), jnp.int32))
+    q = jnp.asarray(rng.integers(0, 1 << 30, cap * 27), jnp.int32)
+
+    @jax.jit
+    def ss(key, q):
+        return jnp.searchsorted(key, q)
+
+    ss(key, q)
+    rec["searchsorted_27x40k_ms"] = timeit(ss, key, q, iters=args.iters, name="searchsorted_27x40k_ms")
+
+    @jax.jit
+    def srt(q):
+        return jnp.argsort(q)
+
+    srt(q)
+    rec["argsort_1M_ms"] = timeit(srt, q, iters=args.iters, name="argsort_1M_ms")
+
+    # conv with precomputed rulebook, level-0 shape (bf16)
+    feat = jnp.asarray(rng.standard_normal((cap, 32)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((27, 32, 32)), jnp.float32)
+
+    @jax.jit
+    def conv(feat, rulebook, w):
+        return apply_sparse_conv(feat, rulebook, w, out_mask=mask,
+                                 compute_dtype="bfloat16")
+
+    conv(feat, rulebook, w)
+    rec["conv_l0_32x32_ms"] = timeit(conv, feat, rulebook, w,
+                                     iters=args.iters,
+                                     name="conv_l0_32x32_ms")
+
+    @jax.jit
+    def down(coords, mask):
+        return downsample_sites(coords, mask, cap // 2)
+
+    down(coords, mask)
+    rec["downsample_ms"] = timeit(down, coords, mask, iters=args.iters, name="downsample_ms")
+
+    # full model forward
+    from open3d_ml_tpu.models import SparseConvUnet
+    from open3d_ml_tpu.utils import Config
+    cfg = Config.load_from_file(
+        os.path.join(os.path.dirname(__file__), "..", "open3d_ml_tpu",
+                     "configs", "sparseconvunet_scannet.yml"))
+    model_cfg = dict(cfg.model)
+    model_cfg.pop("name", None)
+    model_cfg.pop("ckpt_path", None)
+    model = SparseConvUnet(**model_cfg)
+    net = model.get_net()
+    batch = {"point": pts[None], "feat": jnp.asarray(
+        rng.uniform(-1, 1, (1, n, 3)), jnp.float32),
+        "point_mask": pmask[None]}
+    key0 = jax.random.PRNGKey(0)
+    variables = jax.jit(
+        lambda b: net.init({"params": key0}, b, training=False))(batch)
+    fwd = jax.jit(lambda v, b: net.apply(v, b, training=False))
+    fwd(variables, batch)
+    rec["full_forward_ms"] = timeit(fwd, variables, batch, iters=args.iters, name="full_forward_ms")
+    rec["pts_per_sec"] = round(n / (rec["full_forward_ms"] / 1e3), 1)
+
+    print(json.dumps(rec, indent=1))
+
+
+if __name__ == "__main__":
+    main()

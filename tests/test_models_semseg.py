@@ -239,6 +239,100 @@ class TestSparseConvUnet:
 
 
 @pytest.mark.slow
+class TestSparseConvUnetBucket:
+    """The bucket (Morton block-table) conv path vs the hash twin."""
+
+    def _surface_batch(self, rng, b=2, n=1500):
+        """Walls + floor of a room — the surface density SparseConvUnet
+        actually runs on (uniform-random fill is the worst case for
+        segment-table exactness, surfaces the realistic one)."""
+        wall = rng.uniform(0, 40, (b, n // 3, 2))
+        p1 = np.stack([wall[..., 0], wall[..., 1],
+                       np.full_like(wall[..., 0], 0.5)], -1)  # floor
+        p2 = np.stack([wall[..., 0],
+                       np.full_like(wall[..., 0], 0.5), wall[..., 1] / 2],
+                      -1)
+        p3 = np.stack([np.full_like(wall[..., 0], 0.5), wall[..., 0],
+                       wall[..., 1] / 2], -1)
+        pts = np.concatenate([p1, p2, p3], axis=1)
+        pts = (pts.astype(np.int32) + 0.5).astype(np.float32)
+        mask = np.ones(pts.shape[:2], bool)
+        mask[-1, -200:] = False
+        return {
+            "point": jnp.asarray(pts),
+            "feat": jnp.asarray(
+                rng.uniform(-1, 1, (*pts.shape[:2], 3)), jnp.float32),
+            "point_mask": jnp.asarray(mask),
+        }
+
+    def test_bucket_matches_hash_when_tables_exact(self, rng):
+        """With zero sown overflow the bucket forward IS the hash forward
+        (same parameter tree, same math): max |delta| at fp tolerance."""
+        from open3d_ml_tpu.models import SparseConvUnet
+        model = SparseConvUnet(multiplier=4, num_classes=5, num_levels=3,
+                               max_voxels=2048, num_points=1500,
+                               in_channels=3, residual_blocks=True,
+                               level_caps=[2048, 1024, 512],
+                               bucket_segs=24)
+        batch = self._surface_batch(rng)
+        net_b = model.get_net()  # ships conv_method="bucket"
+        net_h = model.get_eval_net()  # hash twin, f32
+        v = net_b.init({"params": jax.random.PRNGKey(0)}, batch,
+                       training=False)
+        out_b, inter = net_b.apply(v, batch, training=False,
+                                   mutable=["intermediates"])
+        counters = {k: int(np.asarray(x[0]).sum()) for k, x in
+                    inter["intermediates"]["net"].items()}
+        assert counters["table_overflow_blocks"] == 0, counters
+        assert counters["voxel_overflow_points"] == 0, counters
+        out_h = net_h.apply(v, batch, training=False)
+        m = np.asarray(batch["point_mask"])[..., None]
+        d = np.abs(np.asarray(out_b) - np.asarray(out_h)) * m
+        assert float(d.max()) < 1e-3, float(d.max())
+
+    def test_bucket_overflow_is_counted(self, rng):
+        """A starved segment budget (S=2) must be loudly counted, never
+        silent — the bucket twin of the site-cap overflow test."""
+        from open3d_ml_tpu.models import SparseConvUnet
+        model = SparseConvUnet(multiplier=4, num_classes=5, num_levels=3,
+                               max_voxels=2048, num_points=1500,
+                               in_channels=3, level_caps=[2048, 1024, 512],
+                               bucket_segs=2)
+        batch = self._surface_batch(rng)
+        net = model.get_net()
+        v = net.init({"params": jax.random.PRNGKey(0)}, batch,
+                     training=False)
+        _, inter = net.apply(v, batch, training=False,
+                             mutable=["intermediates"])
+        ovf = int(np.asarray(
+            inter["intermediates"]["net"]["table_overflow_blocks"][0]))
+        assert ovf > 0
+
+    def test_bucket_train_step_grads(self, rng):
+        """Gradients flow through gather_pallas taps, the Morton dedup and
+        the devoxelize gather."""
+        from open3d_ml_tpu.models import SparseConvUnet
+        model = SparseConvUnet(multiplier=4, num_classes=4, num_levels=3,
+                               max_voxels=1024, num_points=600,
+                               in_channels=3, level_caps=[1024, 512, 256])
+        batch = self._surface_batch(rng, b=1, n=600)
+        net = model.get_net()
+        v = net.init({"params": jax.random.PRNGKey(0)}, batch,
+                     training=False)
+
+        def loss_fn(params):
+            out, _ = net.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                batch, training=True,
+                mutable=["batch_stats", "intermediates"])
+            return jnp.mean(out ** 2)
+
+        g = jax.grad(loss_fn)(v["params"])
+        total = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree.leaves(g))
+        assert np.isfinite(total) and total > 0
+
+
+@pytest.mark.slow
 class TestSparseConvUnetLearns:
 
     def test_overfit_tiny(self, rng):
