@@ -97,6 +97,17 @@ def main():
     ap.add_argument("--eval-only", action="store_true",
                     help="skip training; evaluate the latest checkpoint "
                          "found under --logdir")
+    ap.add_argument("--train-knn", choices=["exact", "fused"],
+                    default="exact",
+                    help="neighbor path used DURING TRAINING. 'fused' "
+                         "trains through the approximate bucket tables "
+                         "(the --train-fused budget), measuring what a "
+                         "user of the shipped fused default actually "
+                         "gets; eval still sweeps exact + fused.")
+    ap.add_argument("--train-fused", default="64,128,64,32",
+                    metavar="SEG,QBLOCK,S[,G[,U[,GQ]]]",
+                    help="fused budget for --train-knn fused (default: "
+                         "the shipped seg64/qb128/S64/G32 config)")
     args = ap.parse_args()
     p = SCALES[args.scale]
     if args.max_epoch is not None:
@@ -121,12 +132,19 @@ def main():
         cache_dir=join(args.logdir, "cache"),
         steps_per_epoch_train=p["steps_per_epoch"],
         test_result_folder=join(args.logdir, "test_results"))
+    train_fused = {}
+    if args.train_knn == "fused":
+        tf = [int(x) for x in args.train_fused.split(",")]
+        train_fused = dict(seg=tf[0], block=tf[1], num_segs=tf[2],
+                           gather_segs=tf[3] if len(tf) > 3 else 0,
+                           up_segs=tf[4] if len(tf) > 4 else 0,
+                           gather_qblock=tf[5] if len(tf) > 5 else 0)
     model = RandLANet(
         num_points=p["num_points"], num_classes=19,
         ignored_label_inds=[0], in_channels=3, dim_features=8,
         dim_output=[16, 64, 128, 256], sub_sampling_ratio=[4, 4, 4, 4],
         grid_size=p["grid_size"],
-        knn_method="exact",  # train on the exact on-device pyramid
+        knn_method=args.train_knn, **train_fused,
         augment={"recenter": {"dim": [0, 1]},
                  "rotate": {"method": "vertical"},
                  "scale": {"min_s": 0.9, "max_s": 1.1},
@@ -166,6 +184,8 @@ def main():
 
     record = {
         "scale": args.scale,
+        "train_knn": args.train_knn,
+        "train_fused_config": train_fused or None,
         "params": p,
         "train_seconds": round(train_time, 1),
         "train_miou_last_epoch": (None if np.isnan(train_miou) else
