@@ -39,10 +39,15 @@ class BatchedNet(nn.Module):
         return vnet(self.net, inputs)
 
 
-def batch_norm(training, name=None, epsilon=1e-5, momentum=0.9):
-    """BatchNorm with torch defaults, synced over the vmapped batch axis."""
+def batch_norm(training, name=None, epsilon=1e-5, momentum=0.9,
+               axis_name="batch"):
+    """BatchNorm with torch defaults, synced over the vmapped batch axis.
+
+    axis_name=None for nets that run directly on a [B, N, C] batch (the
+    fused bucket paths): flax BN already reduces over (B, N) there.
+    """
     return nn.BatchNorm(use_running_average=not training, momentum=momentum,
-                        epsilon=epsilon, axis_name="batch", name=name)
+                        epsilon=epsilon, axis_name=axis_name, name=name)
 
 
 class MaskedBatchNorm(nn.Module):

@@ -12,6 +12,22 @@ sample is a fixed-size patch (cfg.num_points, cropped/padded on the host) and
 the whole forward — FPS, KNN, grouping, attention — runs per sample inside
 the jitted step, vmapped over the batch. Static strides [1,4,4,4,4] give
 static sizes at every level.
+
+Two execution modes share one parameter tree (same design as RandLA-Net):
+
+* exact/approx (eval + reference semantics): per-sample FPS + KNN under
+  nn.vmap;
+* knn_method='fused' (train/bench fast path): the net consumes the whole
+  [B, N, .] batch. ONE Hilbert sort per forward replaces every FPS call
+  (downsampling is a stride slice of the curve-sorted order — FPS is a
+  sequential O(M) loop that serializes the chip), neighbor tables come
+  from the bucket pyramid (ops/bucket.build_pt_pyramid_tpu), and every
+  neighbor read is a block-local Pallas one-hot MXU matmul
+  (ops/pallas/bucket.gather_pallas) instead of a random-access row
+  gather. Attention tables are built ONCE per level and shared by the
+  encoder and decoder Bottlenecks (the exact path recomputes KNN inside
+  every Transformer call, like the reference). Evaluation stays exact:
+  BaseModel.get_eval_net / PointTransformer.get_eval_net.
 """
 
 import numpy as np
@@ -30,7 +46,7 @@ from ..ops.neighbors import knn_search
 from ..ops.sampling import furthest_point_sampling
 from ..utils import MODEL
 from .base_model import BaseModel
-from .common import BatchedNet, batch_norm
+from .common import batch_norm
 
 
 def queryandgroup(nsample, points, queries, feat, use_xyz=True,
@@ -61,77 +77,154 @@ def queryandgroup(nsample, points, queries, feat, use_xyz=True,
     return gathered[..., 3:], idx
 
 
+class _PTLevels:
+    """Fused-path neighbor contexts over a Hilbert-sorted [B, N, .] batch.
+
+    Wraps one build_pt_pyramid_tpu result: attn(i) gathers the level-i
+    self-attention neighbors, down(i) the level-(i+1)-queries-in-level-i
+    grouping neighbors, up(i) the 3 nearest level-(i+1) points of every
+    level-i point. All reads are gather_pallas one-hot MXU matmuls.
+    """
+
+    def __init__(self, pyr, seg, dtype, interpret=False):
+        from ..ops.bucket import _pad_seg
+        from ..ops.pallas.bucket import gather_pallas
+        self._pyr = pyr
+        self._gp = gather_pallas
+        self._pad = _pad_seg
+        self.seg = seg
+        self.dtype = dtype
+        self.interpret = interpret
+        self.coords = pyr["coords"]
+        self.perm = pyr["perm"]
+
+    def _g(self, v, sids, rel, qb):
+        return self._gp(self._pad(v, self.seg), sids, rel, self.seg, qb,
+                        self.dtype, self.interpret)
+
+    def attn(self, i, v):
+        """[B, N_i, C] -> [B, N_i, K_i, C]."""
+        p = self._pyr
+        return self._g(v, p["nbr_seg_ids"][i], p["nbr_rel"][i],
+                       p["nbr_qblock"][i])
+
+    def down(self, i, v):
+        """[B, N_i, C] -> [B, N_{i+1}, K, C]."""
+        p = self._pyr
+        return self._g(v, p["pool_seg_ids"][i], p["pool_rel"][i],
+                       p["pool_qblock"][i])
+
+    def up(self, i, v):
+        """[B, N_{i+1}, C] -> [B, N_i, up_k, C]."""
+        p = self._pyr
+        return self._g(v, p["up_seg_ids"][i], p["up_rel"][i],
+                       p["up_qblock"][i])
+
+
 class Transformer(nn.Module):
-    """Vector self-attention over KNN (reference :377-467)."""
+    """Vector self-attention over KNN (reference :377-467).
+
+    Shape-agnostic: runs on one sample ([N, C], under nn.vmap, KNN
+    computed in-module) or — given ``gather`` (a fused-level closure
+    [..., N, C] -> [..., N, K, 3+C'] over cat(point, feats)) — on a full
+    [B, N, C] batch with table-backed Pallas gathers.
+    """
     out_planes: int
     share_planes: int = 8
     nsample: int = 16
     knn_method: str = "exact"
+    bn_axis: str | None = "batch"
+    dtype: type = None
 
     @nn.compact
-    def __call__(self, point, feat, training=False):
+    def __call__(self, point, feat, training=False, gather=None):
         c = self.out_planes
         s = self.share_planes
-        feat_q = nn.Dense(c, name="linear_q")(feat)
-        feat_k = nn.Dense(c, name="linear_k")(feat)
-        feat_v = nn.Dense(c, name="linear_v")(feat)
+        dt, ba = self.dtype, self.bn_axis
+        feat_q = nn.Dense(c, dtype=dt, name="linear_q")(feat)
+        feat_k = nn.Dense(c, dtype=dt, name="linear_k")(feat)
+        feat_v = nn.Dense(c, dtype=dt, name="linear_v")(feat)
 
-        # k and v share the neighbor indices: gather them fused
-        fk, idx = queryandgroup(self.nsample, point, point,
-                                jnp.concatenate([feat_k, feat_v], axis=-1),
-                                use_xyz=True, method=self.knn_method)
-        point_r = fk[:, :, 0:3]
-        feat_k = fk[:, :, 3:3 + c]
-        feat_v = fk[:, :, 3 + c:]
+        # k and v share the neighbor indices: gather them fused (row
+        # gathers are latency-bound on TPU — one wide gather, not three)
+        kv = jnp.concatenate([feat_k, feat_v], axis=-1)
+        if gather is not None:
+            g = gather(jnp.concatenate(
+                [point.astype(kv.dtype), kv], axis=-1))
+            point_r = (g[..., :3].astype(jnp.float32) -
+                       point[..., None, :]).astype(kv.dtype)
+        else:
+            fk, _ = queryandgroup(self.nsample, point, point, kv,
+                                  use_xyz=True, method=self.knn_method)
+            point_r, g = fk[..., 0:3], fk
+        feat_k = g[..., -2 * c:-c]
+        feat_v = g[..., -c:]
 
         # positional MLP: Linear(3,3) -> BN -> ReLU -> Linear(3, C)
-        point_r = nn.Dense(3, name="linear_p0")(point_r)
-        point_r = batch_norm(training, name="linear_p_bn")(point_r)
+        point_r = nn.Dense(3, dtype=dt, name="linear_p0")(point_r)
+        point_r = batch_norm(training, name="linear_p_bn",
+                             axis_name=ba)(point_r)
         point_r = nn.relu(point_r)
-        point_r = nn.Dense(c, name="linear_p1")(point_r)
+        point_r = nn.Dense(c, dtype=dt, name="linear_p1")(point_r)
 
-        n, k = point_r.shape[0], point_r.shape[1]
-        w = feat_k - feat_q[:, None, :] + \
-            point_r.reshape(n, k, 1, c).sum(2)
+        w = feat_k - feat_q[..., None, :] + point_r
 
         # weight MLP: BN -> ReLU -> Linear(c, c/s) -> BN -> ReLU -> Linear
-        w = batch_norm(training, name="linear_w_bn0")(w)
+        w = batch_norm(training, name="linear_w_bn0", axis_name=ba)(w)
         w = nn.relu(w)
-        w = nn.Dense(c // s, name="linear_w0")(w)
-        w = batch_norm(training, name="linear_w_bn1")(w)
+        w = nn.Dense(c // s, dtype=dt, name="linear_w0")(w)
+        w = batch_norm(training, name="linear_w_bn1", axis_name=ba)(w)
         w = nn.relu(w)
-        w = nn.Dense(c // s, name="linear_w1")(w)
+        w = nn.Dense(c // s, dtype=dt, name="linear_w1")(w)
 
-        w = jax.nn.softmax(w, axis=1)  # over neighbors
-        out = ((feat_v + point_r).reshape(n, k, s, c // s) *
-               w[:, :, None, :]).sum(1).reshape(n, c)
-        return out
+        w = jax.nn.softmax(w, axis=-2)  # over neighbors
+        x = feat_v + point_r            # [..., K, C]
+        x = x.reshape(x.shape[:-1] + (s, c // s))
+        out = jnp.sum(x * w[..., None, :], axis=-3)  # sum over K
+        return out.reshape(out.shape[:-2] + (c,))
 
 
 class TransitionDown(nn.Module):
-    """FPS subsample + KNN grouping + maxpool (reference :470-537)."""
+    """FPS subsample + KNN grouping + maxpool (reference :470-537).
+
+    Fused mode (``down``/``sub_coords`` given): the subsample is the
+    pyramid's stride slice of the Hilbert order (FPS stand-in) and the
+    grouping is a table-backed Pallas gather.
+    """
     out_planes: int
     stride: int = 1
     nsample: int = 16
     knn_method: str = "exact"
+    bn_axis: str | None = "batch"
+    dtype: type = None
 
     @nn.compact
-    def __call__(self, point, feat, training=False):
+    def __call__(self, point, feat, training=False, down=None,
+                 sub_coords=None):
         if self.stride != 1:
-            m = point.shape[0] // self.stride
-            idx = furthest_point_sampling(point, m)
-            new_point = point[idx]
-            grouped, _ = queryandgroup(self.nsample, point, new_point, feat,
-                                       use_xyz=True,
-                                       method=self.knn_method)  # [m, K, 3+C]
-            x = nn.Dense(self.out_planes, use_bias=False,
+            if down is not None:
+                new_point = sub_coords
+                g = down(jnp.concatenate(
+                    [point.astype(feat.dtype), feat], axis=-1))
+                rel = (g[..., :3].astype(jnp.float32) -
+                       new_point[..., None, :]).astype(feat.dtype)
+                grouped = jnp.concatenate([rel, g[..., 3:]], axis=-1)
+            else:
+                m = point.shape[0] // self.stride
+                idx = furthest_point_sampling(point, m)
+                new_point = point[idx]
+                grouped, _ = queryandgroup(
+                    self.nsample, point, new_point, feat, use_xyz=True,
+                    method=self.knn_method)  # [m, K, 3+C]
+            x = nn.Dense(self.out_planes, use_bias=False, dtype=self.dtype,
                          name="linear")(grouped)
-            x = batch_norm(training, name="bn")(x)
+            x = batch_norm(training, name="bn", axis_name=self.bn_axis)(x)
             x = nn.relu(x)
-            feat = jnp.max(x, axis=1)  # [m, C]
+            feat = jnp.max(x, axis=-2)  # [..., m, C]
             return new_point, feat
-        x = nn.Dense(self.out_planes, use_bias=False, name="linear")(feat)
-        x = batch_norm(training, name="bn")(x)
+        x = nn.Dense(self.out_planes, use_bias=False, dtype=self.dtype,
+                     name="linear")(feat)
+        x = batch_norm(training, name="bn", axis_name=self.bn_axis)(x)
         return point, nn.relu(x)
 
 
@@ -140,27 +233,43 @@ class TransitionUp(nn.Module):
     in_planes: int
     out_planes: int = None  # None = head (global-context concat)
 
+    bn_axis: str | None = "batch"
+    dtype: type = None
+
     @nn.compact
-    def __call__(self, pxo1, pxo2=None, training=False):
+    def __call__(self, pxo1, pxo2=None, training=False, up=None):
+        ba, dt = self.bn_axis, self.dtype
         if pxo2 is None:
             _, feat = pxo1
-            n = feat.shape[0]
-            mean = jnp.mean(feat, axis=0, keepdims=True)
-            g = nn.Dense(self.in_planes, name="linear2")(mean)
+            mean = jnp.mean(feat, axis=-2, keepdims=True)
+            g = nn.Dense(self.in_planes, dtype=dt, name="linear2")(mean)
             g = nn.relu(g)
             feat = jnp.concatenate(
-                [feat, jnp.broadcast_to(g, (n, g.shape[-1]))], axis=1)
-            feat = nn.Dense(self.in_planes, name="linear1")(feat)
-            feat = batch_norm(training, name="bn1")(feat)
+                [feat, jnp.broadcast_to(
+                    g, feat.shape[:-1] + (g.shape[-1],))], axis=-1)
+            feat = nn.Dense(self.in_planes, dtype=dt, name="linear1")(feat)
+            feat = batch_norm(training, name="bn1", axis_name=ba)(feat)
             return nn.relu(feat)
         point_1, feat_1 = pxo1
         point_2, feat_2 = pxo2
-        x1 = nn.Dense(self.out_planes, name="linear1")(feat_1)
-        x1 = batch_norm(training, name="bn1")(x1)
+        x1 = nn.Dense(self.out_planes, dtype=dt, name="linear1")(feat_1)
+        x1 = batch_norm(training, name="bn1", axis_name=ba)(x1)
         x1 = nn.relu(x1)
-        x2 = nn.Dense(self.out_planes, name="linear2")(feat_2)
-        x2 = batch_norm(training, name="bn2")(x2)
+        x2 = nn.Dense(self.out_planes, dtype=dt, name="linear2")(feat_2)
+        x2 = batch_norm(training, name="bn2", axis_name=ba)(x2)
         x2 = nn.relu(x2)
+        if up is not None:
+            # one fused gather of (coarse coords, coarse feats); weights
+            # recomputed from the gathered coords — exact 3-NN inverse-
+            # distance interpolation, no extra distance table
+            g = up(jnp.concatenate(
+                [point_2.astype(x2.dtype), x2], axis=-1))
+            d = jnp.sqrt(jnp.sum(jnp.square(
+                g[..., :3].astype(jnp.float32) - point_1[..., None, :]),
+                axis=-1) + 1e-12)
+            w = inverse_distance_weights(d)
+            return x1 + jnp.sum(
+                g[..., 3:] * w[..., None].astype(x2.dtype), axis=-2)
         dist, idx = three_nn(point_1, point_2)
         w = inverse_distance_weights(dist)
         return x1 + three_interpolate(x2, idx, w)
@@ -172,29 +281,42 @@ class Bottleneck(nn.Module):
     share_planes: int = 8
     nsample: int = 16
     knn_method: str = "exact"
+    bn_axis: str | None = "batch"
+    dtype: type = None
 
     @nn.compact
-    def __call__(self, point, feat, training=False):
+    def __call__(self, point, feat, training=False, gather=None):
+        ba, dt = self.bn_axis, self.dtype
         identity = feat
-        x = nn.Dense(self.planes, use_bias=False, name="linear1")(feat)
-        x = batch_norm(training, name="bn1")(x)
+        x = nn.Dense(self.planes, use_bias=False, dtype=dt,
+                     name="linear1")(feat)
+        x = batch_norm(training, name="bn1", axis_name=ba)(x)
         x = nn.relu(x)
         x = Transformer(self.planes, self.share_planes, self.nsample,
-                        self.knn_method, name="transformer2")(
-            point, x, training=training)
-        x = batch_norm(training, name="bn2")(x)
+                        self.knn_method, bn_axis=ba, dtype=dt,
+                        name="transformer2")(
+            point, x, training=training, gather=gather)
+        x = batch_norm(training, name="bn2", axis_name=ba)(x)
         x = nn.relu(x)
-        x = nn.Dense(self.planes, use_bias=False, name="linear3")(x)
-        x = batch_norm(training, name="bn3")(x)
+        x = nn.Dense(self.planes, use_bias=False, dtype=dt,
+                     name="linear3")(x)
+        x = batch_norm(training, name="bn3", axis_name=ba)(x)
         return nn.relu(x + identity)
 
 
 class PointTransformerNet(nn.Module):
-    """Single-sample network; batched via BatchedNet."""
+    """Single-sample network (under BatchedNet's vmap), or — with
+    knn_method='fused' — the whole [B, N, .] batch at once over the
+    Hilbert-bucket pyramid (see module docstring)."""
     blocks: tuple
     in_channels: int
     num_classes: int
-    knn_method: str = "exact"  # 'exact' | 'approx' | 'window'
+    knn_method: str = "exact"  # 'fused' | 'exact' | 'approx' | 'window'
+    seg: int = 64              # fused path: points per Hilbert segment
+    block: int = 128           # fused path: queries per search block
+    num_segs: int = 64         # fused path: candidate segments per block
+    gather_segs: int = 32      # fused path: compact gather-table slots
+    compute_dtype: str = "bfloat16"  # fused-path MLP compute dtype
 
     @nn.compact
     def __call__(self, inputs, training=False):
@@ -205,22 +327,48 @@ class PointTransformerNet(nn.Module):
 
         point = inputs["point"]
         feat = inputs["feat"]
+
+        fused = self.knn_method == "fused"
+        ba = None if fused else "batch"
+        cdt = (jnp.bfloat16 if fused and
+               self.compute_dtype == "bfloat16" else None)
+        lv = perm = None
+        if fused:
+            from ..ops.bucket import build_pt_pyramid_tpu
+            interpret = jax.default_backend() == "cpu"
+            pyr = build_pt_pyramid_tpu(
+                point, nsample, stride[1:], seg=self.seg, qblock=self.block,
+                num_segs=self.num_segs, gather_segs=self.gather_segs,
+                up_k=3, interpret=interpret)
+            lv = _PTLevels(pyr, self.seg, jnp.bfloat16, interpret)
+            perm = pyr["perm"]
+            # Hilbert-sorted execution: permute inputs into sorted order
+            # once, un-permute the logits at the end
+            point = lv.coords[0]
+            if feat.shape[-1]:
+                feat = jnp.take_along_axis(feat, perm[..., None], axis=-2)
+
         if self.in_channels == 3:
             feat = point
         else:
-            feat = jnp.concatenate([point, feat], axis=1)
+            feat = jnp.concatenate([point, feat], axis=-1)
 
         points, feats = [point], [feat]
         for i in range(5):
+            kw = {}
+            if fused and stride[i] != 1:
+                kw = dict(down=lambda v, j=i - 1: lv.down(j, v),
+                          sub_coords=lv.coords[i])
             p, f = TransitionDown(planes[i], stride[i], nsample[i],
-                                  self.knn_method, name=f"enc{i}_down")(
-                points[-1], feats[-1], training=training)
+                                  self.knn_method, bn_axis=ba, dtype=cdt,
+                                  name=f"enc{i}_down")(
+                points[-1], feats[-1], training=training, **kw)
+            gk = dict(gather=lambda v, j=i: lv.attn(j, v)) if fused else {}
             for b in range(1, self.blocks[i]):
-                p, f2 = p, Bottleneck(planes[i], share_planes, nsample[i],
-                                      self.knn_method,
-                                      name=f"enc{i}_block{b}")(
-                    p, f, training=training)
-                f = f2
+                f = Bottleneck(planes[i], share_planes, nsample[i],
+                               self.knn_method, bn_axis=ba, dtype=cdt,
+                               name=f"enc{i}_block{b}")(
+                    p, f, training=training, **gk)
             points.append(p)
             feats.append(f)
 
@@ -228,22 +376,55 @@ class PointTransformerNet(nn.Module):
         for i in range(4, -1, -1):
             name = f"dec{i}"
             if i == 4:
-                f = TransitionUp(planes[i] , name=f"{name}_up")(
+                f = TransitionUp(planes[i], bn_axis=ba, dtype=cdt,
+                                 name=f"{name}_up")(
                     (points[i + 1], feats[i + 1]), training=training)
             else:
-                f = TransitionUp(planes[i + 1], planes[i],
-                                 name=f"{name}_up")(
+                uk = dict(up=lambda v, j=i: lv.up(j, v)) if fused else {}
+                f = TransitionUp(planes[i + 1], planes[i], bn_axis=ba,
+                                 dtype=cdt, name=f"{name}_up")(
                     (points[i + 1], feats[i + 1]),
-                    (points[i + 2], feats[i + 2]), training=training)
+                    (points[i + 2], feats[i + 2]), training=training, **uk)
+            gk = dict(gather=lambda v, j=i: lv.attn(j, v)) if fused else {}
             f = Bottleneck(planes[i], share_planes, nsample[i],
-                           self.knn_method, name=f"{name}_block1")(
-                points[i + 1], f, training=training)
+                           self.knn_method, bn_axis=ba, dtype=cdt,
+                           name=f"{name}_block1")(
+                points[i + 1], f, training=training, **gk)
             feats[i + 1] = f
 
-        x = nn.Dense(planes[0], name="cls0")(feats[1])
-        x = batch_norm(training, name="cls_bn")(x)
+        x = nn.Dense(planes[0], dtype=cdt, name="cls0")(feats[1])
+        x = batch_norm(training, name="cls_bn", axis_name=ba)(x)
         x = nn.relu(x)
-        return nn.Dense(self.num_classes, name="cls1")(x)
+        scores = nn.Dense(self.num_classes, name="cls1")(x)
+        if perm is not None:
+            # un-permute back to the caller's point order (inverse
+            # permutation as a scatter of iota — no second sort)
+            n = perm.shape[-1]
+            ar = jnp.broadcast_to(jnp.arange(n, dtype=perm.dtype),
+                                  perm.shape)
+            inv = jnp.zeros_like(perm).at[
+                jnp.arange(perm.shape[0])[:, None], perm].set(ar)
+            scores = jnp.take_along_axis(scores, inv[..., None], axis=-2)
+        return scores
+
+
+class PTBatchedNet(nn.Module):
+    """Batch wrapper: fused nets consume the whole [B, N, .] batch
+    directly (batched Pallas kernels, BN over (B, N)); every other
+    neighbor method runs per-sample under nn.vmap. Same parameter tree
+    either way — get_eval_net swaps the method, not the weights."""
+    net: nn.Module
+
+    @nn.compact
+    def __call__(self, inputs, training=False):
+        if self.net.knn_method == "fused":
+            return self.net(inputs, training=training)
+        vnet = nn.vmap(
+            lambda mdl, x: mdl(x, training=training),
+            variable_axes={"params": None, "batch_stats": None},
+            split_rngs={"params": False, "dropout": True},
+            in_axes=(0,), out_axes=0, axis_name="batch")
+        return vnet(self.net, inputs)
 
 
 class PointTransformer(BaseModel):
@@ -261,6 +442,11 @@ class PointTransformer(BaseModel):
                  batcher="DefaultBatcher",
                  augment=None,
                  knn_method="exact",
+                 seg=64,
+                 block=128,
+                 num_segs=64,
+                 gather_segs=32,
+                 compute_dtype="bfloat16",
                  **kwargs):
         super().__init__(name=name,
                          blocks=blocks,
@@ -273,16 +459,39 @@ class PointTransformer(BaseModel):
                          batcher=batcher,
                          augment=augment,
                          knn_method=knn_method,
+                         seg=seg,
+                         block=block,
+                         num_segs=num_segs,
+                         gather_segs=gather_segs,
+                         compute_dtype=compute_dtype,
                          **kwargs)
         self.augmenter = SemsegAugmentation(self.cfg.augment, seed=self.rng)
 
-    def get_net(self):
+    def get_net(self, knn_method=None):
         cfg = self.cfg
-        return BatchedNet(net=PointTransformerNet(
+        return PTBatchedNet(net=PointTransformerNet(
             blocks=tuple(cfg.blocks),
             in_channels=cfg.in_channels,
             num_classes=cfg.num_classes,
-            knn_method=cfg.get("knn_method", "exact")))
+            knn_method=knn_method or cfg.get("knn_method", "exact"),
+            seg=cfg.get("seg", 64),
+            block=cfg.get("block", 128),
+            num_segs=cfg.get("num_segs", 64),
+            gather_segs=cfg.get("gather_segs", 32),
+            compute_dtype=cfg.get("compute_dtype", "bfloat16")))
+
+    def get_eval_net(self):
+        """Evaluation net: exact FPS + exact KNN unless
+        ``eval_knn_method`` explicitly opts into an approximate path
+        (same exact-eval enforcement as RandLANet.get_eval_net)."""
+        method = self.cfg.get("eval_knn_method", None) or "exact"
+        if method != "exact":
+            import logging
+            logging.getLogger(__name__).warning(
+                "PointTransformer evaluation uses APPROXIMATE neighbors "
+                "(eval_knn_method=%s); reported accuracy is not the "
+                "exact-path accuracy.", method)
+        return self.get_net(knn_method=method)
 
     def preprocess(self, data, attr):
         """Voxel-subsample + KD-tree (reference :198-256)."""

@@ -465,6 +465,111 @@ def build_bucket_pyramid_tpu(points, k, sub_ratios, *, seg=128, qblock=128,
     return out
 
 
+def build_pt_pyramid_tpu(points, nsamples, sub_ratios, *, seg=64,
+                         qblock=128, num_segs=64, gather_segs=32, up_k=3,
+                         presorted=False, interpret=False, curve="hilbert"):
+    """Point-Transformer-shaped bucket pyramid (batched, Pallas-backed).
+
+    Differences from the RandLA pyramid (build_bucket_pyramid_tpu):
+
+    * one MORE level than sub_ratios: Point Transformer runs
+      self-attention at every level INCLUDING the coarsest, so nbr tables
+      are emitted for len(sub_ratios)+1 levels;
+    * per-level neighbor counts: nsamples[i] is the attention K at level
+      i (the reference uses 8 at the finest level, 16 elsewhere,
+      point_transformer.py:748); the down-grouping from level i to i+1
+      uses nsamples[i+1] (TransitionDown's nsample, reference :470-537);
+    * upsample tables carry up_k (=3) neighbors instead of 1 — the
+      decoder interpolates with 3-NN inverse-distance weights (reference
+      TransitionUp :539-601), with distances recomputed from gathered
+      coords inside the model (exact, no extra table).
+
+    Subsampling is a stride slice of the curve-sorted order (spatially
+    uniform), the TPU-native stand-in for the reference's
+    furthest_point_sample_v2 — FPS is a sequential O(M) loop that
+    serializes the chip, while a stride slice of a Hilbert-sorted cloud
+    is free and preserves sortedness at every level. The EXACT path
+    (eval) keeps true FPS; the delta is measured by
+    scripts/accuracy_study.py --model pointtransformer.
+
+    Returns dict of per-level lists plus perm [B, N]:
+        coords          L+1 entries
+        nbr_seg_ids/rel/qblock   L+1 entries (self-attention tables)
+        pool_seg_ids/rel/qblock  L entries (down-grouping tables)
+        up_seg_ids/rel           L entries (up_k-NN upsample tables)
+    """
+    from .pallas.bucket import knn_pallas
+
+    b, n0, _ = points.shape
+    if presorted:
+        perm = jnp.broadcast_to(jnp.arange(n0, dtype=jnp.int32), (b, n0))
+        pc = points
+    else:
+        code_fn = hilbert_codes if curve == "hilbert" else morton_codes
+        codes = jax.vmap(code_fn)(points)
+        perm = jnp.argsort(codes, axis=1).astype(jnp.int32)
+        pc = jnp.take_along_axis(points, perm[..., None], axis=1)
+
+    out = {"perm": perm, "coords": [], "nbr_seg_ids": [], "nbr_rel": [],
+           "nbr_qblock": [], "pool_seg_ids": [], "pool_rel": [],
+           "pool_qblock": [], "up_seg_ids": [], "up_rel": [],
+           "up_qblock": []}
+    levels = len(sub_ratios) + 1
+    for i in range(levels):
+        n = pc.shape[1]
+        s_here = min(num_segs, -(-n // seg))
+        qb = min(qblock, max(8, n))
+        pcp = _pad_seg(pc, seg, fill=1e9)
+        sids = select_segments(pc, pc, seg=seg, qblock=qb,
+                               num_segs=s_here)
+        rel, _ = knn_pallas(pcp, pc, sids, nsamples[i], seg=seg,
+                            qblock=qb, interpret=interpret)
+        nbr_qb = qb
+        if gather_segs and gather_segs < s_here:
+            sids, rel = compact_tables(sids, rel, gather_segs, seg=seg,
+                                       qblock=qb)
+        out["coords"].append(pc)
+        out["nbr_seg_ids"].append(sids)
+        out["nbr_rel"].append(rel)
+        out["nbr_qblock"].append(nbr_qb)
+        if i == levels - 1:
+            break
+        ratio = sub_ratios[i]
+        sub = pc[:, ::ratio][:, :n // ratio]
+        k_dn = nsamples[i + 1]
+        if (k_dn == nsamples[i] and nbr_qb % ratio == 0 and
+                n % qb == 0 and not gather_segs):
+            # sub rows ARE rows of pc: reuse the nbr tables (see
+            # build_bucket_pyramid_tpu for the blocking argument)
+            psids, prel = sids, rel[:, ::ratio]
+            pool_qb = nbr_qb // ratio
+        else:
+            s_dn = min(num_segs, -(-n // seg))
+            psids = select_segments(pc, sub, seg=seg, qblock=qb,
+                                    num_segs=s_dn)
+            prel, _ = knn_pallas(pcp, sub, psids, k_dn, seg=seg,
+                                 qblock=qb, interpret=interpret)
+            pool_qb = qb
+            if gather_segs and gather_segs < s_dn:
+                psids, prel = compact_tables(psids, prel, gather_segs,
+                                             seg=seg, qblock=qb)
+        out["pool_seg_ids"].append(psids)
+        out["pool_rel"].append(prel)
+        out["pool_qblock"].append(pool_qb)
+        # upsample: up_k nearest SUB points of every fine point
+        s_up = min(max(2, num_segs // 2), -(-sub.shape[1] // seg))
+        subp = _pad_seg(sub, seg, fill=1e9)
+        usids = select_segments(sub, pc, seg=seg, qblock=qb,
+                                num_segs=s_up)
+        urel, _ = knn_pallas(subp, pc, usids, up_k, seg=seg, qblock=qb,
+                             interpret=interpret)
+        out["up_seg_ids"].append(usids)
+        out["up_rel"].append(urel)
+        out["up_qblock"].append(qb)
+        pc = sub
+    return out
+
+
 def build_bucket_pyramid(points, k, sub_ratios, *, seg=256, qblock=256,
                          num_segs=8, presorted=False):
     """Morton-sorted KNN/pool/upsample pyramid with bucket indices.

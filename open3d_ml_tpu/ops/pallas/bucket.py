@@ -363,10 +363,15 @@ def _gather_fwd_impl(values, seg_ids, rel, seg, qblock, compute_dtype,
     seg_ids_flat = seg_ids.reshape(b, nqb * s)
 
     # Flattened variant when qblock underfills the MXU's 128-row tiles and
-    # the [qb*k, table] one-hot fits comfortably in VMEM.
+    # the [qb*k, table] one-hot fits comfortably in VMEM. Mosaic accepts
+    # the [qb, k, table] -> [qb*k, table] reshape only when the lane dim
+    # (table) is 128-aligned and the merged rows stay sublane-aligned —
+    # a k=3 upsample gather against a 1-segment 32-lane table (Point
+    # Transformer pyramid, coarsest level) hit "unsupported shape cast".
     oh_bytes = qblock * k * s * seg * (2 if compute_dtype == jnp.bfloat16
                                        else 4)
-    if qblock < 128 and oh_bytes <= 4 * 1024 * 1024:
+    if (qblock < 128 and s * seg % 128 == 0 and (qblock * k) % 8 == 0 and
+            oh_bytes <= 4 * 1024 * 1024):
         kern = functools.partial(_gather_flat_kernel, k=k, s=s, c=c,
                                  compute_dtype=compute_dtype)
         out = pl.pallas_call(

@@ -108,6 +108,13 @@ def main():
                     metavar="SEG,QBLOCK,S[,G[,U[,GQ]]]",
                     help="fused budget for --train-knn fused (default: "
                          "the shipped seg64/qb128/S64/G32 config)")
+    ap.add_argument("--model", choices=["randlanet", "pointtransformer"],
+                    default="randlanet",
+                    help="model under study; pointtransformer uses a "
+                         "16,384-pt patch (its shipped S3DIS scale) and "
+                         "its fused path additionally swaps FPS for "
+                         "Hilbert stride-slicing, so its delta covers "
+                         "BOTH approximations")
     args = ap.parse_args()
     p = SCALES[args.scale]
     if args.max_epoch is not None:
@@ -120,7 +127,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     from open3d_ml_tpu.datasets import SyntheticShapes
-    from open3d_ml_tpu.models import RandLANet
+    from open3d_ml_tpu.models import PointTransformer, RandLANet
     from open3d_ml_tpu.pipelines import SemanticSegmentation
 
     t0 = time.time()
@@ -139,16 +146,29 @@ def main():
                            gather_segs=tf[3] if len(tf) > 3 else 0,
                            up_segs=tf[4] if len(tf) > 4 else 0,
                            gather_qblock=tf[5] if len(tf) > 5 else 0)
-    model = RandLANet(
-        num_points=p["num_points"], num_classes=19,
-        ignored_label_inds=[0], in_channels=3, dim_features=8,
-        dim_output=[16, 64, 128, 256], sub_sampling_ratio=[4, 4, 4, 4],
-        grid_size=p["grid_size"],
-        knn_method=args.train_knn, **train_fused,
-        augment={"recenter": {"dim": [0, 1]},
-                 "rotate": {"method": "vertical"},
-                 "scale": {"min_s": 0.9, "max_s": 1.1},
-                 "noise": {"noise_std": 0.01}})
+    augment = {"recenter": {"dim": [0, 1]},
+               "rotate": {"method": "vertical"},
+               "scale": {"min_s": 0.9, "max_s": 1.1},
+               "noise": {"noise_std": 0.01}}
+    if args.model == "pointtransformer":
+        # shipped S3DIS patch scale; xyz-only features on synthetic data
+        p["num_points"] = min(p["num_points"], 16384)
+        p["lr"] = 0.02  # the reference PT trains SGD momentum at 0.02
+        tf_pt = {k: v for k, v in train_fused.items()
+                 if k in ("seg", "block", "num_segs", "gather_segs")}
+        model = PointTransformer(
+            num_points=p["num_points"], num_classes=19,
+            ignored_label_inds=[0], in_channels=3,
+            voxel_size=p["grid_size"], knn_method=args.train_knn,
+            **tf_pt, augment=augment)
+    else:
+        model = RandLANet(
+            num_points=p["num_points"], num_classes=19,
+            ignored_label_inds=[0], in_channels=3, dim_features=8,
+            dim_output=[16, 64, 128, 256], sub_sampling_ratio=[4, 4, 4, 4],
+            grid_size=p["grid_size"],
+            knn_method=args.train_knn, **train_fused,
+            augment=augment)
     pipeline = SemanticSegmentation(
         model, dataset=dataset,
         max_epoch=p["max_epoch"], batch_size=p["batch_size"],
@@ -183,6 +203,7 @@ def main():
           f"({train_time:.0f}s)", flush=True)
 
     record = {
+        "model": args.model,
         "scale": args.scale,
         "train_knn": args.train_knn,
         "train_fused_config": train_fused or None,

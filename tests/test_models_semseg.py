@@ -100,6 +100,46 @@ class TestPointTransformer:
         assert out.shape == (b, n, 13)
         assert bool(jnp.isfinite(out).all())
 
+    def test_fused_path_shares_params_and_trains(self, rng):
+        """The fused (Hilbert-bucket) net and the exact eval net share one
+        parameter tree; the fused forward is finite and grads flow."""
+        from open3d_ml_tpu.models import PointTransformer
+        model = PointTransformer(blocks=[2, 2, 2, 2, 2], in_channels=6,
+                                 num_classes=13, num_points=1024,
+                                 knn_method="fused", seg=32, block=32,
+                                 num_segs=8, gather_segs=4)
+        b, n = 2, 1024
+        batch = {
+            "point": jnp.asarray(rng.uniform(0, 4, (b, n, 3)), jnp.float32),
+            "feat": jnp.asarray(rng.uniform(0, 1, (b, n, 3)), jnp.float32),
+        }
+        key = jax.random.PRNGKey(0)
+        net = model.get_net()
+        v = jax.jit(lambda bb: net.init({"params": key}, bb,
+                                        training=False))(batch)
+        out = jax.jit(lambda vv, bb: net.apply(vv, bb,
+                                               training=False))(v, batch)
+        assert out.shape == (b, n, 13)
+        assert bool(jnp.isfinite(out).all())
+
+        # eval net (exact FPS+KNN) applies the FUSED-initialized params
+        enet = model.get_eval_net()
+        assert enet.net.knn_method == "exact"
+        out2 = jax.jit(lambda vv, bb: enet.apply(vv, bb,
+                                                 training=False))(v, batch)
+        assert out2.shape == (b, n, 13)
+        assert bool(jnp.isfinite(out2).all())
+
+        # grads flow through the Pallas gathers (train mode, bf16 MLPs)
+        def loss(p, bb):
+            o, _ = net.apply({"params": p, "batch_stats": v["batch_stats"]},
+                             bb, training=True, mutable=["batch_stats"])
+            return jnp.mean(o.astype(jnp.float32) ** 2)
+
+        g = jax.jit(jax.grad(loss))(v["params"], batch)
+        gsum = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree.leaves(g))
+        assert np.isfinite(gsum) and gsum > 0
+
 
 @pytest.mark.slow
 class TestPVCNN:
