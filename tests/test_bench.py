@@ -42,16 +42,54 @@ def _run(env_overrides, timeout=120, tmp_path=None):
 class TestBenchWatchdog:
 
     def test_hung_probe_yields_error_record_rc0(self):
-        """A relay that blocks at device discovery must produce an error
-        record (rc 0), not silence: the round artifact survives."""
+        """A relay that blocks at device discovery past the whole retry
+        budget must produce an error record (rc 0), not silence: the
+        round artifact survives."""
         proc, lines = _run({"BENCH_FAKE_HANG": "probe",
                             "BENCH_PROBE_TIMEOUT": "3",
+                            "BENCH_PROBE_BUDGET": "8",
+                            "BENCH_PROBE_RETRY_SLEEP": "1",
                             "BENCH_METRICS": "_selftest"})
         assert proc.returncode == 0
         assert lines, proc.stdout + proc.stderr
         final = lines[-1]
         assert "timed out" in final["error"]
+        assert final["probe_attempts"] >= 2  # it did retry
         assert final["metric"] == "randlanet_inference_points_per_sec"
+
+    def test_probe_flap_recovers(self, tmp_path):
+        """A probe that hangs ONCE and then recovers (the measured relay
+        failure mode) must cost one retry, not the round: the run
+        proceeds to its metrics with no error in the final record."""
+        proc, lines = _run({"BENCH_FAKE_HANG": "probe_flap",
+                            "BENCH_FLAP_STATE": str(tmp_path),
+                            "BENCH_PROBE_TIMEOUT": "10",
+                            "BENCH_PROBE_BUDGET": "120",
+                            "BENCH_PROBE_RETRY_SLEEP": "1",
+                            "BENCH_METRICS": "_selftest"},
+                           tmp_path=tmp_path)
+        assert proc.returncode == 0
+        final = lines[-1]
+        assert "error" not in final, final
+        assert final["selftest"] == 1
+        assert final["probe_attempts"] == 2
+
+    def test_metric_flap_rescued_by_reprobe(self, tmp_path):
+        """Two consecutive metric timeouts during a flap that then
+        recovers: the parent re-probes, retries BOTH eaten metrics, and
+        the final record carries their values with no error."""
+        proc, lines = _run({"BENCH_FLAP_STATE": str(tmp_path),
+                            "BENCH_METRIC_TIMEOUT": "10",
+                            "BENCH_PROBE_RETRY_SLEEP": "1",
+                            "BENCH_METRICS": "_selfflap_a,_selfflap_b"},
+                           tmp_path=tmp_path, timeout=180)
+        assert proc.returncode == 0
+        final = lines[-1]
+        assert "error" not in final, final
+        assert final["selfflap_a"] == 1 and final["selfflap_b"] == 1
+        # the stale timeout errors from the first pass were cleared
+        assert "_selfflap_a_error" not in final
+        assert "_selfflap_b_error" not in final
 
     def test_completed_metrics_survive_a_later_hang(self):
         """Metric 1 completes, metric 2 hangs: metric 1's value must
@@ -68,9 +106,12 @@ class TestBenchWatchdog:
         assert "timed out" in final["_selfhang_error"]
 
     def test_two_consecutive_timeouts_bail(self, tmp_path):
-        """Two hung metrics in a row = dead backend: bail with the
-        partial record instead of eating every remaining timeout."""
+        """Two hung metrics in a row with rescues exhausted = dead
+        backend: bail with the partial record instead of eating every
+        remaining timeout. (BENCH_FLAP_RESCUES=0 pins the no-rescue
+        path; the rescue path is covered above.)"""
         proc, lines = _run({"BENCH_METRIC_TIMEOUT": "25",
+                            "BENCH_FLAP_RESCUES": "0",
                             "BENCH_METRICS":
                                 "_selfhang,_selfhang,_selftest"},
                            tmp_path=tmp_path)
