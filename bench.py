@@ -493,10 +493,17 @@ def child_sparseconvunet():
     n = model.cfg.num_points
 
     rng = np.random.default_rng(0)
-    # indoor-scene-like cloud in voxel units (preprocess scale 1/0.02,
-    # snapped to voxel centers) — ~8m x 8m x 3m room
-    pts = np.stack([rng.uniform(0, 400, n), rng.uniform(0, 400, n),
-                    rng.uniform(0, 150, n)], 1)
+    # SURFACE-CONCENTRATED scene (r4 verdict Weak #6: the old uniform
+    # scatter had ~0.3% occupancy and near-zero stencil connectivity,
+    # which makes the number meaningless for ScanNet-like data): a
+    # SyntheticShapes scene (ground plane + shells/sheets/wires), scaled
+    # into voxel units and snapped to voxel centers exactly as
+    # SparseConvUnet.preprocess does (models/sparseconvunet.py).
+    from open3d_ml_tpu.datasets.synthetic import make_semseg_scene
+    pts = make_semseg_scene(n, seed=0)[0].astype(np.float64)
+    pts -= pts.min(0)
+    pts *= min(1000.0 / max(pts.max(), 1e-6),
+               1.0 / model.cfg.voxel_size)  # voxel units, extent < 1023
     pts = (pts.astype(np.int32) + 0.5).astype(np.float32)
     batch = {
         "point": jnp.asarray(pts[None]),

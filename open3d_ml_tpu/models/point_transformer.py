@@ -340,7 +340,10 @@ class PointTransformerNet(nn.Module):
                 point, nsample, stride[1:], seg=self.seg, qblock=self.block,
                 num_segs=self.num_segs, gather_segs=self.gather_segs,
                 up_k=3, interpret=interpret)
-            lv = _PTLevels(pyr, self.seg, jnp.bfloat16, interpret)
+            # gathers run at the resolved compute dtype: f32 keeps the
+            # kernels' exact Precision.HIGHEST path reachable when
+            # compute_dtype != 'bfloat16' (mirrors RandLA's _BucketLevel)
+            lv = _PTLevels(pyr, self.seg, cdt or jnp.float32, interpret)
             perm = pyr["perm"]
             # Hilbert-sorted execution: permute inputs into sorted order
             # once, un-permute the logits at the end

@@ -96,6 +96,10 @@ class _BucketLevel:
                                    len(pyr["pool_rel"]))[i]
         self.up_seg_ids = pyr["up_seg_ids"][i]
         self.up_rel = pyr["up_rel"][i]
+        # derived up tables (up_mode="derive") ride the nbr tables' block
+        # granularity; searched ones use the search qblock
+        self.up_qblock = pyr.get("up_qblock", [qblock] *
+                                 len(pyr["up_rel"]))[i]
 
     def gather(self, v):
         """[B, N, C] -> [B, N, K, C]."""
@@ -111,7 +115,7 @@ class _BucketLevel:
 
     def upsample(self, v):
         return self._gp(self._pad(v, self.seg), self.up_seg_ids,
-                        self.up_rel, self.seg, self.qblock, self.dtype,
+                        self.up_rel, self.seg, self.up_qblock, self.dtype,
                         self.interpret)[..., 0, :]
 
 
@@ -268,6 +272,8 @@ class RandLANetNet(nn.Module):
     gather_segs: int = 0      # fused path: compact gather tables to S' slots
     gather_qblock: int = 0    # fused path: re-block gather tables finer
     up_segs: int = 0          # fused path: upsample (1-NN) table cap
+    up_mode: str = "search"   # fused path: "derive" reads the nearest sub
+                              # point off the fine k-NN (no upsample search)
     presorted: bool = False   # True if the host already curve-sorted
                               # (ops/bucket.morton_sort order, Hilbert)
     compute_dtype: str = "bfloat16"  # fused-path MLP compute dtype
@@ -291,7 +297,7 @@ class RandLANetNet(nn.Module):
                 list(self.sub_sampling_ratio), seg=self.seg,
                 qblock=self.block, num_segs=self.num_segs,
                 gather_segs=self.gather_segs, up_segs=self.up_segs,
-                gather_qblock=self.gather_qblock,
+                gather_qblock=self.gather_qblock, up_mode=self.up_mode,
                 presorted=self.presorted, interpret=interpret)
             levels = [
                 _BucketLevel(pyr["coords"][i], pyr, i, self.seg, self.block,
@@ -474,6 +480,7 @@ class RandLANet(BaseModel):
                  gather_segs=32,
                  gather_qblock=0,
                  up_segs=0,
+                 up_mode="search",
                  presorted=False,
                  compute_dtype="bfloat16",
                  augment={},
@@ -500,6 +507,7 @@ class RandLANet(BaseModel):
                          gather_segs=gather_segs,
                          gather_qblock=gather_qblock,
                          up_segs=up_segs,
+                         up_mode=up_mode,
                          presorted=presorted,
                          compute_dtype=compute_dtype,
                          augment=augment,
@@ -527,6 +535,7 @@ class RandLANet(BaseModel):
             gather_segs=getattr(cfg, "gather_segs", 0),
             gather_qblock=getattr(cfg, "gather_qblock", 0),
             up_segs=getattr(cfg, "up_segs", 0),
+            up_mode=getattr(cfg, "up_mode", "search"),
             presorted=cfg.presorted,
             compute_dtype=cfg.compute_dtype)
         return BatchedNet(net=single)

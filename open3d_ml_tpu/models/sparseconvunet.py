@@ -646,7 +646,8 @@ class SparseConvUnet(BaseModel):
             conv_method=conv_method or cfg.get("conv_method", "bucket"),
             bucket_seg=cfg.get("bucket_seg", 64),
             bucket_qblock=cfg.get("bucket_qblock", 32),
-            bucket_segs=cfg.get("bucket_segs", 16)))
+            bucket_segs=cfg.get("bucket_segs", 16),
+            warn_on_overflow=cfg.get("warn_on_overflow", True)))
 
     def get_eval_net(self):
         """Evaluation rides the hash path at f32: searchsorted rulebooks

@@ -370,6 +370,83 @@ def compact_tables(seg_ids, rel, gather_segs, *, seg, qblock,
     return new_sids, new_rel[:, :q]
 
 
+def derive_up_tables(seg_ids, rel, ratio, *, seg, up_slots=0):
+    """Derive each fine point's nearest-SUB-point table from its own
+    fine k-NN — the upsample search (one select_segments + one
+    knn_pallas(k=1) per level) disappears.
+
+    The sub level is the stride-``ratio`` slice of the fine sorted order,
+    so a fine table entry g = sid*seg + r is a sub point iff
+    r % ratio == 0 (requires seg % ratio == 0); its sub segment is exactly
+    sid // ratio and its offset inside it is
+    (sid % ratio)*(seg//ratio) + r//ratio — all elementwise on rel. rel
+    rows are distance-ascending, so the FIRST sub-point entry is the
+    nearest sub point among the query's k fine neighbors; that is the true
+    1-NN sub point whenever the nearest sub point ranks within the query's
+    k nearest fine points (at ratio 4 / k 16 it nearly always does — the
+    nearest sub point has expected fine-rank ~ratio). Queries with no sub
+    hit fall back to the floor-parent of their nearest fine neighbor
+    (rel[..., 0], the self-neighbor for self-KNN tables).
+
+    Args:
+        seg_ids: [B, nqb, S] int32 — the tables ``rel`` indexes
+            (post-compaction tables are fine).
+        rel: [B, Q, K] int32 table-relative, distance-ascending rows.
+        ratio: sub stride (seg % ratio must be 0).
+        up_slots: S' sub-table slots per block (0 = S//ratio + 8; measured
+            p90 distinct sub segments at the shipped budget is S//ratio+3,
+            max +6). Each block's sub table is the best-first dedup of
+            seg_ids//ratio; entries mapping past S' are treated as misses
+            (the query falls back to a nearby kept sub point).
+
+    Returns (up_seg_ids [B, nqb, S'] int32, up_rel [B, Q, 1] int32) at the
+    SAME query-block granularity as seg_ids/rel.
+    """
+    assert seg % ratio == 0, (seg, ratio)
+    b, nqb, s = seg_ids.shape
+    _, q, k = rel.shape
+    qblock = -(-q // nqb)
+    sp = up_slots or min(s // ratio + 8, s)
+
+    vals = seg_ids // ratio  # [B, nqb, S] candidate SUB segments (dups)
+    # best-first dedup: first_idx[j] = first slot holding vals[j]
+    eq = vals[..., :, None] == vals[..., None, :]      # [B, nqb, S, S]
+    first_idx = jnp.argmax(eq, axis=-1)                # first i: eq[j, i]
+    first_occ = first_idx == jnp.arange(s)[None, None, :]
+    # slot_map[j] = compact rank of vals[j]'s first occurrence
+    csum = jnp.cumsum(first_occ.astype(jnp.int32), axis=-1)
+    slot_map = jnp.take_along_axis(csum, first_idx, axis=-1) - 1
+    # build the compact sub table: scatter-free one-hot contraction; slots
+    # past the unique count repeat the best sub segment (never referenced)
+    uniq_slot = jnp.where(first_occ, slot_map, sp)     # sp = dropped
+    oh = jax.nn.one_hot(uniq_slot, sp, dtype=jnp.float32)
+    up_sids = jnp.einsum("bnjs,bnj->bns", oh,
+                         vals.astype(jnp.float32)).astype(jnp.int32)
+    covered = jnp.einsum("bnjs->bns", oh) > 0
+    up_sids = jnp.where(covered, up_sids, vals[..., :1])
+
+    # per-entry candidate: sub-table slot + offset inside the sub segment
+    qpad = nqb * qblock - q
+    relp = (jnp.pad(rel, ((0, 0), (0, qpad), (0, 0))) if qpad else rel)
+    relg = relp.reshape(b, nqb, qblock, k)
+    s_idx = relg // seg
+    r = relg % seg
+    oh_e = jax.nn.one_hot(s_idx, s, dtype=jnp.float32)  # [B,nqb,qb,K,S]
+    ent_slot = jnp.einsum("bnqks,bns->bnqk", oh_e,
+                          slot_map.astype(jnp.float32)).astype(jnp.int32)
+    ent_mod = jnp.einsum("bnqks,bns->bnqk", oh_e,
+                         (seg_ids % ratio).astype(jnp.float32)
+                         ).astype(jnp.int32)
+    hit = ((r % ratio) == 0) & (ent_slot < sp)
+    j_star = jnp.argmax(hit, axis=-1)                  # first hit (0 if none)
+    take = lambda x: jnp.take_along_axis(x, j_star[..., None], axis=-1)[
+        ..., 0]
+    slot = jnp.minimum(take(ent_slot), sp - 1)
+    up_rel = (slot * seg + take(ent_mod) * (seg // ratio) +
+              take(r) // ratio)
+    return up_sids, up_rel.reshape(b, nqb * qblock, 1)[:, :q]
+
+
 def _pad_seg(x, seg, fill=0.0):
     """Pad rows of [B, N, C] up to a multiple of seg with `fill`."""
     n = x.shape[1]
@@ -382,7 +459,8 @@ def _pad_seg(x, seg, fill=0.0):
 def build_bucket_pyramid_tpu(points, k, sub_ratios, *, seg=128, qblock=128,
                              num_segs=8, gather_segs=0, up_segs=0,
                              gather_qblock=0, presorted=False,
-                             interpret=False, curve="hilbert"):
+                             interpret=False, curve="hilbert",
+                             up_mode="search"):
     """Batched, Pallas-backed KNN/pool/upsample pyramid (the fast path).
 
     Same contract as build_bucket_pyramid but over a [B, N, 3] batch, with
@@ -393,6 +471,12 @@ def build_bucket_pyramid_tpu(points, k, sub_ratios, *, seg=128, qblock=128,
     each block's table to the gather_segs slots its neighbors actually
     occupy, so the model's one-hot gathers run at the narrow width.
     up_segs > 0 caps the upsample (1-NN) search table.
+
+    up_mode="derive" replaces the per-level upsample SEARCH (one
+    select_segments + one knn_pallas(k=1)) with derive_up_tables(): the
+    nearest sub point is read off the already-computed fine k-NN, and the
+    upsample gather table shrinks to ~gather_segs//ratio slots. Falls
+    back to "search" when seg % ratio != 0.
 
     curve picks the sort order ("hilbert" default — fewer segments per
     query block at equal recall, see morton_sort; "morton" for the
@@ -414,15 +498,18 @@ def build_bucket_pyramid_tpu(points, k, sub_ratios, *, seg=128, qblock=128,
 
     out = {"perm": perm, "coords": [], "nbr_seg_ids": [], "nbr_rel": [],
            "nbr_qblock": [], "pool_seg_ids": [], "pool_rel": [],
-           "pool_qblock": [], "up_seg_ids": [], "up_rel": []}
+           "pool_qblock": [], "up_seg_ids": [], "up_rel": [],
+           "up_qblock": []}
     for ratio in sub_ratios:
         n = pc.shape[1]
         s_here = min(num_segs, -(-n // seg))
         pcp = _pad_seg(pc, seg, fill=1e9)
         sids = select_segments(pc, pc, seg=seg, qblock=qblock,
                                num_segs=s_here)
-        rel, _ = knn_pallas(pcp, pc, sids, k, seg=seg, qblock=qblock,
-                            interpret=interpret)
+        # clamp K to the level's real point count (pad rows gather zeros —
+        # see build_pt_pyramid_tpu); binds only on tiny test clouds
+        rel, _ = knn_pallas(pcp, pc, sids, min(k, n), seg=seg,
+                            qblock=qblock, interpret=interpret)
         nbr_qb = qblock
         if gather_segs and gather_segs < s_here:
             gq = gather_qblock or qblock
@@ -445,13 +532,20 @@ def build_bucket_pyramid_tpu(points, k, sub_ratios, *, seg=128, qblock=128,
             prel, _ = knn_pallas(pcp, sub, psids, k, seg=seg,
                                  qblock=qblock, interpret=interpret)
             pool_qb = qblock
-        s_up = min(up_segs or max(2, num_segs // 2),
-                   max(2, num_segs // 2), -(-sub.shape[1] // seg))
-        subp = _pad_seg(sub, seg, fill=1e9)
-        usids = select_segments(sub, pc, seg=seg, qblock=qblock,
-                                num_segs=s_up)
-        urel, _ = knn_pallas(subp, pc, usids, 1, seg=seg, qblock=qblock,
-                             interpret=interpret)
+        if up_mode == "derive" and seg % ratio == 0:
+            # nearest sub point read off the fine k-NN — no upsample
+            # search at all (see derive_up_tables)
+            usids, urel = derive_up_tables(sids, rel, ratio, seg=seg)
+            up_qb = nbr_qb
+        else:
+            s_up = min(up_segs or max(2, num_segs // 2),
+                       max(2, num_segs // 2), -(-sub.shape[1] // seg))
+            subp = _pad_seg(sub, seg, fill=1e9)
+            usids = select_segments(sub, pc, seg=seg, qblock=qblock,
+                                    num_segs=s_up)
+            urel, _ = knn_pallas(subp, pc, usids, 1, seg=seg,
+                                 qblock=qblock, interpret=interpret)
+            up_qb = qblock
         out["coords"].append(pc)
         out["nbr_seg_ids"].append(sids)
         out["nbr_rel"].append(rel)
@@ -461,6 +555,7 @@ def build_bucket_pyramid_tpu(points, k, sub_ratios, *, seg=128, qblock=128,
         out["pool_qblock"].append(pool_qb)
         out["up_seg_ids"].append(usids)
         out["up_rel"].append(urel)
+        out["up_qblock"].append(up_qb)
         pc = sub
     return out
 
@@ -522,7 +617,12 @@ def build_pt_pyramid_tpu(points, nsamples, sub_ratios, *, seg=64,
         pcp = _pad_seg(pc, seg, fill=1e9)
         sids = select_segments(pc, pc, seg=seg, qblock=qb,
                                num_segs=s_here)
-        rel, _ = knn_pallas(pcp, pc, sids, nsamples[i], seg=seg,
+        # clamp K to the level's REAL point count: when a tiny coarsest
+        # level has fewer points than nsamples[i], the surplus slots would
+        # otherwise fill with 1e9-pad rows whose gathered features are
+        # zeros — phantom neighbors the exact path never sees
+        k_here = min(nsamples[i], n)
+        rel, _ = knn_pallas(pcp, pc, sids, k_here, seg=seg,
                             qblock=qb, interpret=interpret)
         nbr_qb = qb
         if gather_segs and gather_segs < s_here:
@@ -536,8 +636,8 @@ def build_pt_pyramid_tpu(points, nsamples, sub_ratios, *, seg=64,
             break
         ratio = sub_ratios[i]
         sub = pc[:, ::ratio][:, :n // ratio]
-        k_dn = nsamples[i + 1]
-        if (k_dn == nsamples[i] and nbr_qb % ratio == 0 and
+        k_dn = min(nsamples[i + 1], n)  # same pad-row clamp as above
+        if (k_dn == k_here and nbr_qb % ratio == 0 and
                 n % qb == 0 and not gather_segs):
             # sub rows ARE rows of pc: reuse the nbr tables (see
             # build_bucket_pyramid_tpu for the blocking argument)
@@ -561,8 +661,8 @@ def build_pt_pyramid_tpu(points, nsamples, sub_ratios, *, seg=64,
         subp = _pad_seg(sub, seg, fill=1e9)
         usids = select_segments(sub, pc, seg=seg, qblock=qb,
                                 num_segs=s_up)
-        urel, _ = knn_pallas(subp, pc, usids, up_k, seg=seg, qblock=qb,
-                             interpret=interpret)
+        urel, _ = knn_pallas(subp, pc, usids, min(up_k, sub.shape[1]),
+                             seg=seg, qblock=qb, interpret=interpret)
         out["up_seg_ids"].append(usids)
         out["up_rel"].append(urel)
         out["up_qblock"].append(qb)

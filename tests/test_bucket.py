@@ -345,6 +345,53 @@ class TestHilbertCurve:
         assert (h[48:] == np.int32(0x7FFFFFFF)).all()
         assert (h[:48] < np.int32(0x7FFFFFFF)).all()
 
+    def test_derive_up_tables_matches_true_sub_1nn(self):
+        """derive_up_tables: the derived entry must (a) always address a
+        VALID sub point, (b) equal the true nearest sub point whenever
+        that point is among the query's k fine neighbors (the exactness
+        condition), and (c) recover the true sub-1NN for ~all queries on
+        lidar density at the shipped budget."""
+        from open3d_ml_tpu.ops.bucket import (bucket_knn, derive_up_tables,
+                                              morton_sort)
+        seg, qblock, S, k, ratio = 64, 128, 32, 16, 4
+        pts = _lidar_cloud(8192)
+        _, sp = morton_sort(jnp.asarray(pts))
+        sids, rel, _ = bucket_knn(sp, sp, k, seg=seg, qblock=qblock,
+                                  num_segs=S)
+        usids, urel = derive_up_tables(sids[None], rel[None], ratio,
+                                       seg=seg)
+        usids, urel = np.asarray(usids[0]), np.asarray(urel[0])
+        n = sp.shape[0]
+        n_sub = n // ratio
+        sub = np.asarray(sp)[::ratio][:n_sub]
+        blk = np.arange(n)[:, None] // qblock
+        g_sub = (usids[blk[:, 0], urel[:, 0] // seg] * seg +
+                 urel[:, 0] % seg)
+        assert (g_sub >= 0).all() and (g_sub < n_sub).all()
+        # ground truth
+        _, t_sub = cKDTree(sub).query(np.asarray(sp), k=1)
+        gfine = np.asarray(sids)[blk, np.asarray(rel) // seg] * seg + \
+            np.asarray(rel) % seg
+        # exactness conditions: the true nearest sub point is among the k
+        # fine NN, AND its sub segment survived the S' table cap
+        cond = (gfine == t_sub[:, None] * ratio).any(1)
+        kept = (usids[np.arange(n) // qblock] ==
+                (t_sub // seg)[:, None]).any(1)
+        assert cond.mean() > 0.95, cond.mean()
+        exact = cond & kept
+        assert exact.mean() > 0.95, exact.mean()
+        assert (g_sub[exact] == t_sub[exact]).all()
+        # overall recall incl. fallbacks
+        assert (g_sub == t_sub).mean() > 0.95
+        # fallback rows still give a NEARBY sub point (not garbage)
+        bad = g_sub != t_sub
+        if bad.any():
+            d_got = np.linalg.norm(sub[g_sub[bad]] - np.asarray(sp)[bad],
+                                   axis=1)
+            d_true = np.linalg.norm(sub[t_sub[bad]] - np.asarray(sp)[bad],
+                                    axis=1)
+            assert np.median(d_got / np.maximum(d_true, 1e-6)) < 3.0
+
     def test_compact_tables_preserves_kept_neighbors(self):
         """compact_tables: every neighbor whose slot survives must map to
         the SAME global point; dropped ones duplicate the query's nearest
