@@ -562,6 +562,29 @@ def child_pointtransformer():
                                                   3)}
 
 
+def child_stages():
+    """Per-stage time breakdown of the flagship fused forward (r4 verdict
+    Weak #4: MFU 0.32% says the chip is idle in matmul terms, but the
+    FLOPs model cannot see WHERE the time goes — this can). Emits
+    stage_{sort,select,knn,compact,pyramid,gather,model_rest}_ms for the
+    shipped YAML config; see scripts/profile_stages.py for the method."""
+    _setup_jax()
+    sys.path.insert(0, os.path.join(_HERE, "scripts"))
+    from profile_stages import stage_times
+
+    model, batch_size = _flagship_model()
+    cfg = model.cfg
+    st = stage_times(b=batch_size, n=cfg.num_points,
+                     k=cfg.num_neighbors,
+                     ratios=tuple(cfg.sub_sampling_ratio), seg=cfg.seg,
+                     qblock=cfg.block, num_segs=cfg.num_segs,
+                     gather_segs=cfg.gather_segs,
+                     up_segs=getattr(cfg, "up_segs", 0),
+                     up_mode=getattr(cfg, "up_mode", "search"), iters=5)
+    return {f"stage_{k2}": v for k2, v in st.items()
+            if k2.endswith("_ms")}
+
+
 def child_selftest():
     """Instant no-JAX metric, used by tests of the watchdog machinery."""
     return {"selftest": 1}
@@ -595,6 +618,7 @@ _CHILDREN = {
     "sparseconvunet": child_sparseconvunet,
     "pointtransformer": child_pointtransformer,
     "train": child_train,
+    "stages": child_stages,
     "_selftest": child_selftest,
     "_selfhang": child_selfhang,
     "_selfflap_a": child_selfflap,
@@ -703,6 +727,7 @@ def main():
                  "pointtransformer"]
         if not os.environ.get("BENCH_NO_TRAIN"):
             names.append("train")
+        names.append("stages")  # flagship per-stage breakdown (Weak #4)
 
     if not _probe_with_retries(record):
         _emit(record)

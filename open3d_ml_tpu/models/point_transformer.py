@@ -590,6 +590,10 @@ class PointTransformer(BaseModel):
         return loss, remapped, scores
 
     def get_optimizer(self, cfg_pipeline):
+        """SGD + step schedule (the reference recipe,
+        point_transformer.py get_optimizer); ``optimizer.name: adam``
+        switches to Adam with the same schedule (useful on tasks where
+        the SGD(0.02) recipe plateaus — see scripts/accuracy_study.py)."""
         import optax
         opt = dict(cfg_pipeline.optimizer or {})
         lr = opt.get("lr", 0.5)
@@ -600,8 +604,11 @@ class PointTransformer(BaseModel):
             int(max_epoch * 0.8) * steps: 0.1,
         }
         schedule = optax.piecewise_constant_schedule(lr, boundaries)
-        tx = optax.sgd(learning_rate=schedule,
-                       momentum=opt.get("momentum", 0.9))
+        if opt.get("name", "sgd").lower() == "adam":
+            tx = optax.adam(learning_rate=schedule)
+        else:
+            tx = optax.sgd(learning_rate=schedule,
+                           momentum=opt.get("momentum", 0.9))
         return tx, schedule
 
     def update_probs(self, inputs, results, test_probs):

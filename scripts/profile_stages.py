@@ -47,7 +47,8 @@ def chained(fn, *args, iters=10):
 
 def stage_times(b=4, n=45056, k=16, ratios=(4, 4, 4, 4), seg=64,
                 qblock=128, num_segs=64, gather_segs=32, up_segs=0,
-                iters=10, model=True):
+                iters=10, model=True, interpret=None,
+                up_mode="search"):
     """Returns the per-stage ms dict (see module docstring). model=False
     skips the full-forward / gather stages (pyramid decomposition only)."""
     import jax
@@ -57,6 +58,8 @@ def stage_times(b=4, n=45056, k=16, ratios=(4, 4, 4, 4), seg=64,
     from open3d_ml_tpu.ops.morton import hilbert_codes
     from open3d_ml_tpu.ops.pallas.bucket import gather_pallas, knn_pallas
 
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     rng = np.random.default_rng(0)
     pts = jnp.asarray(rng.uniform(-25, 25, (b, n, 3)), jnp.float32)
     out = {}
@@ -70,14 +73,22 @@ def stage_times(b=4, n=45056, k=16, ratios=(4, 4, 4, 4), seg=64,
 
     out["sort_ms"] = chained(sort_fn, pts, iters=iters) * 1e3
 
-    # materialize the sorted pyramid coords once (host of the stage fns)
-    codes = jax.vmap(hilbert_codes)(pts)
-    perm = jnp.argsort(codes, axis=1).astype(jnp.int32)
-    pc0 = jnp.take_along_axis(pts, perm[..., None], axis=1)
-    coords = [pc0]
-    for r in ratios:
-        nn_ = coords[-1].shape[1]
-        coords.append(coords[-1][:, ::r][:, :nn_ // r])
+    # materialize the sorted pyramid coords once — under ONE jit per step
+    # (eager dispatch through the TPU relay costs ~32 ms per op; a few
+    # hundred eager ops would take minutes)
+    @jax.jit
+    def _mk_coords(p):
+        codes = jax.vmap(hilbert_codes)(p)
+        perm = jnp.argsort(codes, axis=1).astype(jnp.int32)
+        pc = jnp.take_along_axis(p, perm[..., None], axis=1)
+        cs = [pc]
+        for r in ratios:
+            nn_ = cs[-1].shape[1]
+            cs.append(cs[-1][:, ::r][:, :nn_ // r])
+        return cs
+
+    coords = _mk_coords(pts)
+    pc0 = coords[0]
 
     # ---- stage: segment selection (nbr at every level + up at every level)
     def select_fn(p0):
@@ -88,26 +99,34 @@ def stage_times(b=4, n=45056, k=16, ratios=(4, 4, 4, 4), seg=64,
             s_here = min(num_segs, -(-pcl.shape[1] // seg))
             sids = select_segments(pcl, pcl, seg=seg, qblock=qblock,
                                    num_segs=s_here)
-            s_up = min(up_segs or max(2, num_segs // 2),
-                       max(2, num_segs // 2), -(-sub.shape[1] // seg))
-            usids = select_segments(sub, pcl, seg=seg, qblock=qblock,
-                                    num_segs=s_up)
-            acc += (jnp.sum(sids) + jnp.sum(usids)).astype(jnp.float32)
+            acc += jnp.sum(sids).astype(jnp.float32)
+            if up_mode != "derive":
+                s_up = min(up_segs or max(2, num_segs // 2),
+                           max(2, num_segs // 2),
+                           -(-sub.shape[1] // seg))
+                usids = select_segments(sub, pcl, seg=seg, qblock=qblock,
+                                        num_segs=s_up)
+                acc += jnp.sum(usids).astype(jnp.float32)
         return acc * 1e-12
 
     out["select_ms"] = chained(select_fn, pc0, iters=iters) * 1e3
 
-    # materialize sids/usids for the knn stage
-    sids_l, usids_l = [], []
-    for i, r in enumerate(ratios):
-        pcl, sub = coords[i], coords[i + 1]
-        s_here = min(num_segs, -(-pcl.shape[1] // seg))
-        sids_l.append(select_segments(pcl, pcl, seg=seg, qblock=qblock,
+    # materialize sids/usids for the knn stage (one jit)
+    @jax.jit
+    def _mk_sids(cs):
+        sl, ul = [], []
+        for i, r in enumerate(ratios):
+            pcl, sub = cs[i], cs[i + 1]
+            s_here = min(num_segs, -(-pcl.shape[1] // seg))
+            sl.append(select_segments(pcl, pcl, seg=seg, qblock=qblock,
                                       num_segs=s_here))
-        s_up = min(up_segs or max(2, num_segs // 2),
-                   max(2, num_segs // 2), -(-sub.shape[1] // seg))
-        usids_l.append(select_segments(sub, pcl, seg=seg, qblock=qblock,
-                                       num_segs=s_up))
+            s_up = min(up_segs or max(2, num_segs // 2),
+                       max(2, num_segs // 2), -(-sub.shape[1] // seg))
+            ul.append(select_segments(sub, pcl, seg=seg, qblock=qblock,
+                                      num_segs=s_up))
+        return sl, ul
+
+    sids_l, usids_l = _mk_sids(coords)
 
     # ---- stage: Pallas KNN (nbr k=K at every level, up 1-NN at every level)
     def knn_fn(p0):
@@ -117,21 +136,28 @@ def stage_times(b=4, n=45056, k=16, ratios=(4, 4, 4, 4), seg=64,
             pcl, sub = cs[i], cs[i + 1]
             pcp = _pad_seg(pcl, seg, fill=1e9)
             rel, _ = knn_pallas(pcp, pcl, sids_l[i], k, seg=seg,
-                                qblock=qblock)
-            subp = _pad_seg(sub, seg, fill=1e9)
-            urel, _ = knn_pallas(subp, pcl, usids_l[i], 1, seg=seg,
-                                 qblock=qblock)
-            acc += (jnp.sum(rel) + jnp.sum(urel)).astype(jnp.float32)
+                                qblock=qblock,
+                                interpret=interpret)
+            acc += jnp.sum(rel).astype(jnp.float32)
+            if up_mode != "derive":
+                subp = _pad_seg(sub, seg, fill=1e9)
+                urel, _ = knn_pallas(subp, pcl, usids_l[i], 1, seg=seg,
+                                     qblock=qblock,
+                                     interpret=interpret)
+                acc += jnp.sum(urel).astype(jnp.float32)
         return acc * 1e-12
 
     out["knn_ms"] = chained(knn_fn, pc0, iters=iters) * 1e3
 
-    # materialize rel for the compact stage
-    rel_l = []
-    for i in range(len(ratios)):
-        pcp = _pad_seg(coords[i], seg, fill=1e9)
-        rel_l.append(knn_pallas(pcp, coords[i], sids_l[i], k, seg=seg,
-                                qblock=qblock)[0])
+    # materialize rel for the compact stage (one jit)
+    @jax.jit
+    def _mk_rel(cs, sl):
+        return [knn_pallas(_pad_seg(cs[i], seg, fill=1e9), cs[i], sl[i],
+                           k, seg=seg, qblock=qblock,
+                           interpret=interpret)[0]
+                for i in range(len(ratios))]
+
+    rel_l = _mk_rel(coords, sids_l)
 
     # ---- stage: gather-table compaction
     if gather_segs and gather_segs < num_segs:
@@ -152,7 +178,8 @@ def stage_times(b=4, n=45056, k=16, ratios=(4, 4, 4, 4), seg=64,
         py = build_bucket_pyramid_tpu(p, k, list(ratios), seg=seg,
                                       qblock=qblock, num_segs=num_segs,
                                       gather_segs=gather_segs,
-                                      up_segs=up_segs)
+                                      up_segs=up_segs, up_mode=up_mode,
+                                      interpret=interpret)
         acc = jnp.float32(0.0)
         for lst in (py["nbr_rel"], py["pool_rel"], py["up_rel"]):
             for x in lst:
@@ -167,10 +194,16 @@ def stage_times(b=4, n=45056, k=16, ratios=(4, 4, 4, 4), seg=64,
     # ---- stage: every model-side gather at its real shape
     # (dims mirror RandLANetNet: lse1 gathers 3+d/2, lse2 d/2, pool 2d,
     # upsample the decoder width)
+    # jit the build (eager dispatch through the relay takes minutes), then
+    # concretize the Python-int block-granularity lists jit arrayified
     pyr = jax.jit(lambda p: build_bucket_pyramid_tpu(
         p, k, list(ratios), seg=seg, qblock=qblock, num_segs=num_segs,
-        gather_segs=gather_segs, up_segs=up_segs))(pts)
-    dims = [16, 64, 128, 256]
+        gather_segs=gather_segs, up_segs=up_segs, up_mode=up_mode,
+        interpret=interpret))(pts)
+    for key_ in ("nbr_qblock", "pool_qblock", "up_qblock"):
+        if key_ in pyr:
+            pyr[key_] = [int(v) for v in pyr[key_]]
+    dims = [16, 64, 128, 256][:len(ratios)]
 
     def gather_fn(p0):
         acc = jnp.float32(0.0)
@@ -182,21 +215,26 @@ def stage_times(b=4, n=45056, k=16, ratios=(4, 4, 4, 4), seg=64,
             f1 = f1 + jnp.sum(p0) * 1e-30
             g1 = gather_pallas(_pad_seg(f1, seg), pyr["nbr_seg_ids"][i],
                                pyr["nbr_rel"][i], seg,
-                               pyr["nbr_qblock"][i], jnp.bfloat16)
+                               pyr["nbr_qblock"][i], jnp.bfloat16,
+                               interpret)
             f2 = jax.random.normal(key, (b, nl, d // 2), jnp.float32)
             g2 = gather_pallas(_pad_seg(f2, seg), pyr["nbr_seg_ids"][i],
                                pyr["nbr_rel"][i], seg,
-                               pyr["nbr_qblock"][i], jnp.bfloat16)
+                               pyr["nbr_qblock"][i], jnp.bfloat16,
+                               interpret)
             f3 = jax.random.normal(key, (b, nl, 2 * d), jnp.float32)
             g3 = gather_pallas(_pad_seg(f3, seg), pyr["pool_seg_ids"][i],
                                pyr["pool_rel"][i], seg,
-                               pyr["pool_qblock"][i], jnp.bfloat16)
+                               pyr["pool_qblock"][i], jnp.bfloat16,
+                               interpret)
             # decoder upsample of this level's width
             nc = pyr["coords"][i + 1].shape[1] if i + 1 < len(
                 pyr["coords"]) else pyr["coords"][i].shape[1]
             f4 = jax.random.normal(key, (b, nc, 2 * d), jnp.float32)
+            up_qb = pyr.get("up_qblock", [qblock] * len(ratios))[i]
             g4 = gather_pallas(_pad_seg(f4, seg), pyr["up_seg_ids"][i],
-                               pyr["up_rel"][i], seg, qblock, jnp.bfloat16)
+                               pyr["up_rel"][i], seg, up_qb,
+                               jnp.bfloat16, interpret)
             acc += (jnp.sum(g1) + jnp.sum(g2) + jnp.sum(g3) +
                     jnp.sum(g4)) * 1e-12
         return acc
@@ -206,10 +244,11 @@ def stage_times(b=4, n=45056, k=16, ratios=(4, 4, 4, 4), seg=64,
     # ---- full forward
     from open3d_ml_tpu.models import RandLANet
     mdl = RandLANet(num_points=n, num_classes=19, ignored_label_inds=[0],
-                    in_channels=3, dim_features=8,
+                    in_channels=3, dim_features=8, num_layers=len(ratios),
                     dim_output=list(dims), sub_sampling_ratio=list(ratios),
                     seg=seg, block=qblock, num_segs=num_segs,
-                    gather_segs=gather_segs, up_segs=up_segs)
+                    gather_segs=gather_segs, up_segs=up_segs,
+                    up_mode=up_mode)
     net = mdl.get_net()
     feats = jnp.asarray(rng.uniform(-25, 25, (b, n, 3)), jnp.float32)
     key = jax.random.PRNGKey(0)
@@ -235,12 +274,15 @@ def main():
     from open3d_ml_tpu.pipelines.base_pipeline import _enable_compile_cache
     _enable_compile_cache()  # share the pipeline/bench compile cache
 
-    args = [int(x) for x in sys.argv[1:]]
+    parts = sys.argv[1:]
+    um = "derive" if "D" in parts else "search"
+    args = [int(x) for x in parts if x != "D"]
     seg, qblock, s, g = (args + [64, 128, 64, 32][len(args):])[:4]
     u = args[4] if len(args) > 4 else 0
     out = stage_times(seg=seg, qblock=qblock, num_segs=s, gather_segs=g,
-                      up_segs=u)
-    out.update({"config": f"seg{seg}_qb{qblock}_S{s}_G{g}_U{u}"})
+                      up_segs=u, up_mode=um)
+    out.update({"config": f"seg{seg}_qb{qblock}_S{s}_G{g}_U{u}"
+                + ("_D" if um == "derive" else "")})
     print(json.dumps(out), flush=True)
 
 

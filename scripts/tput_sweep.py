@@ -6,14 +6,17 @@ frontier from scripts/accuracy_study.py can be joined with points/sec on
 real hardware. Prints one JSON line per config.
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 
 def bench_cfg(seg, block, num_segs, gather_segs=0, up_segs=0,
-              gather_qblock=0, iters=20):
+              gather_qblock=0, up_mode="search", iters=20):
     import jax
     import jax.numpy as jnp
     from open3d_ml_tpu.models import RandLANet
@@ -26,7 +29,7 @@ def bench_cfg(seg, block, num_segs, gather_segs=0, up_segs=0,
                       sub_sampling_ratio=[4, 4, 4, 4],
                       seg=seg, block=block, num_segs=num_segs,
                       gather_segs=gather_segs, up_segs=up_segs,
-                      gather_qblock=gather_qblock)
+                      gather_qblock=gather_qblock, up_mode=up_mode)
     net = model.get_net()
     rng = np.random.default_rng(0)
     batch = {
@@ -62,16 +65,22 @@ def main():
 
     from open3d_ml_tpu.pipelines.base_pipeline import _enable_compile_cache
     _enable_compile_cache()
-    cfgs = [tuple(int(x) for x in a.split(",")) for a in sys.argv[1:]] or [
-        (128, 128, 8), (64, 128, 48), (64, 128, 64), (128, 128, 32)]
+    # a literal D element anywhere = up_mode='derive' (searchless upsample)
+    raw = [a.split(",") for a in sys.argv[1:]]
+    cfgs = [(tuple(int(x) for x in parts if x != "D"),
+             "derive" if "D" in parts else "search")
+            for parts in raw] or [
+        ((128, 128, 8), "search"), ((64, 128, 48), "search"),
+        ((64, 128, 64), "search"), ((128, 128, 32), "search")]
     print(json.dumps({"device": jax.devices()[0].device_kind}))
-    for cfg in cfgs:
+    for cfg, um in cfgs:
         seg, block, s = cfg[:3]
         g, u, gq = (list(cfg[3:]) + [0, 0, 0])[:3]
         try:
-            pps = bench_cfg(seg, block, s, g, u, gq)
+            pps = bench_cfg(seg, block, s, g, u, gq, um)
             print(json.dumps({"seg": seg, "qblock": block, "S": s,
                               "G": g, "U": u, "GQ": gq,
+                              "up_mode": um,
                               "points_per_sec": round(pps, 1),
                               "vs_1M": round(pps / 1e6, 3)}), flush=True)
         except Exception as e:  # noqa: BLE001

@@ -316,6 +316,16 @@ class TestFusedRandLANet:
                  np.asarray(oute).argmax(-1)).mean()
         assert agree > 0.7, agree
 
+        # derived (searchless) upsample: same parameter tree, still tracks
+        # the exact path
+        drv = RandLANet(knn_method="fused", seg=64, block=128,
+                        num_segs=16, gather_segs=8, up_mode="derive",
+                        compute_dtype="float32", **kw)
+        outd = drv.get_net().apply(v, batch, training=False)
+        cd = np.corrcoef(np.asarray(outd).ravel(),
+                         np.asarray(oute).ravel())[0, 1]
+        assert cd > 0.8, cd
+
 
 class TestHilbertCurve:
     """hilbert_codes must be a true Hilbert ordering: bijective over the
