@@ -425,25 +425,31 @@ def derive_up_tables(seg_ids, rel, ratio, *, seg, up_slots=0):
     covered = jnp.einsum("bnjs->bns", oh) > 0
     up_sids = jnp.where(covered, up_sids, vals[..., :1])
 
-    # per-entry candidate: sub-table slot + offset inside the sub segment
+    # pick the winning entry FIRST (reduce over k), THEN look its slot up
+    # per QUERY — a per-ENTRY lookup would materialize a [B,nqb,qb,K,S]
+    # one-hot (~370 MB at production scale; measured it made the derive
+    # path slower than the search it replaced)
     qpad = nqb * qblock - q
     relp = (jnp.pad(rel, ((0, 0), (0, qpad), (0, 0))) if qpad else rel)
     relg = relp.reshape(b, nqb, qblock, k)
-    s_idx = relg // seg
-    r = relg % seg
-    oh_e = jax.nn.one_hot(s_idx, s, dtype=jnp.float32)  # [B,nqb,qb,K,S]
-    ent_slot = jnp.einsum("bnqks,bns->bnqk", oh_e,
-                          slot_map.astype(jnp.float32)).astype(jnp.int32)
-    ent_mod = jnp.einsum("bnqks,bns->bnqk", oh_e,
-                         (seg_ids % ratio).astype(jnp.float32)
-                         ).astype(jnp.int32)
-    hit = ((r % ratio) == 0) & (ent_slot < sp)
+    hit = (relg % seg) % ratio == 0
     j_star = jnp.argmax(hit, axis=-1)                  # first hit (0 if none)
-    take = lambda x: jnp.take_along_axis(x, j_star[..., None], axis=-1)[
-        ..., 0]
-    slot = jnp.minimum(take(ent_slot), sp - 1)
-    up_rel = (slot * seg + take(ent_mod) * (seg // ratio) +
-              take(r) // ratio)
+    ohk = (jnp.arange(k, dtype=jnp.int32) ==
+           j_star[..., None]).astype(relg.dtype)
+    e = jnp.sum(relg * ohk, axis=-1)                   # [B, nqb, qb]
+    s_idx = e // seg
+    r_e = e % seg
+    oh_q = jax.nn.one_hot(s_idx, s, dtype=jnp.float32)  # [B, nqb, qb, S]
+    slot = jnp.einsum("bnqs,bns->bnq", oh_q,
+                      slot_map.astype(jnp.float32)).astype(jnp.int32)
+    mod = jnp.einsum("bnqs,bns->bnq", oh_q,
+                     (seg_ids % ratio).astype(jnp.float32)).astype(
+                         jnp.int32)
+    # entries whose sub segment fell past the S' cap clamp to the last
+    # kept slot — rare (sp covers ~p99 of blocks) and still a nearby sub
+    # point (the table is best-first)
+    slot = jnp.minimum(slot, sp - 1)
+    up_rel = slot * seg + mod * (seg // ratio) + r_e // ratio
     return up_sids, up_rel.reshape(b, nqb * qblock, 1)[:, :q]
 
 

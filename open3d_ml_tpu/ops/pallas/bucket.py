@@ -25,6 +25,20 @@ integral — no gradient flows through the search.
 Replaces the role of the reference's CUDA knn/gather ops
 (/root/reference/ml3d/torch/models/randlanet.py:215-232 host KD-trees;
 open3d.ml.torch.ops knn_search used by point_transformer.py:8).
+
+Rejected design (round 5, measured): a FACTORED one-hot gather —
+onehot(rel) = onehot(slot) (x) onehot(r), one [qb*k, 128] x [128, sc*C]
+matmul per S-chunk + slot-masked adds — aimed at the N-padding waste the
+microbench exposed (gather time is flat in C <= 128: the [qb, table] x
+[table, C] matmul runs at the N-padded-to-128 rate, ~55% of peak at
+C=128). Where Mosaic compiled it, it ran 2-3x SLOWER than the direct
+kernel (lane-dim concats + K=128-deep chunk matmuls), and several
+eligible shapes crashed the Mosaic compiler (remote_compile HTTP 500).
+The direct kernel's padded-N matmul is already the efficient form at
+these shapes; table width is the only real lever (scripts/bench_gather.py
+: table 2048 -> 1024 cuts a [45k,16] gather 12.5 -> 7.6 ms at qblock=128;
+finer qblocks LOSE — per-block overhead: qb32@1024 12.9 ms, qb64@1024
+10.3 ms).
 """
 
 import functools
@@ -291,27 +305,38 @@ def _gather_kernel(sref, rel_ref, *args, k, s, c, compute_dtype):
         out_ref[0, :, kk * c:(kk + 1) * c] = out.astype(out_ref.dtype)
 
 
-def _gather_flat_kernel(sref, rel_ref, *args, k, s, c, compute_dtype):
+def _gather_flat_kernel(sref, rel_ref, *args, k, s, c, compute_dtype,
+                        group=1):
     """One-hot gather with k FLATTENED into the matmul M dim: ONE
     [qb*k, table] x [table, C] matmul per block (full 128-row MXU tiles)
     instead of k separate [qb, table] matmuls whose M=qb rows waste the
     systolic array whenever qblock < 128. Output rows are (query-major,
-    k-minor) — the caller reshapes [Q*k, C] -> [Q, k, C] outside."""
-    tabs, out_ref = args[:s], args[s]
-    tab = jnp.concatenate([t[0] for t in tabs],
-                          axis=0).astype(compute_dtype)  # [table, C]
-    rel = rel_ref[0]  # [qb, K]
-    qb = rel.shape[0]
-    table = tab.shape[0]
-    iota3 = jax.lax.broadcasted_iota(jnp.int32, (qb, k, table), 2)
-    oh = (iota3 == rel[:, :, None]).astype(compute_dtype)
+    k-minor) — the caller reshapes [Q*k, C] -> [Q, k, C] outside.
+
+    group > 1 processes `group` consecutive query blocks (each with its
+    OWN s-slot table) in one grid step: fine-grained tables (gather_qblock
+    re-blocking) keep their narrow width — the matmul/one-hot win — while
+    the grid stays coarse, avoiding the per-block overhead that made
+    small qblocks LOSE at equal table width (bench_gather.py: qb32@1024
+    12.9 ms vs qb128@1024 7.6 ms for the same [45k, 16] gather)."""
+    tabs, out_ref = args[:s * group], args[s * group]
+    relall = rel_ref[0]  # [qb*group, K]
+    qb = relall.shape[0] // group
     prec = (jax.lax.Precision.HIGHEST
             if compute_dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
-    out_ref[0] = jax.lax.dot_general(
-        oh.reshape(qb * k, table), tab,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=prec,
-        preferred_element_type=jnp.float32)  # [qb*k, C]
+    for g in range(group):
+        tab = jnp.concatenate(
+            [tabs[g * s + j][0] for j in range(s)],
+            axis=0).astype(compute_dtype)  # [table, C]
+        table = tab.shape[0]
+        rel = relall[g * qb:(g + 1) * qb]
+        iota3 = jax.lax.broadcasted_iota(jnp.int32, (qb, k, table), 2)
+        oh = (iota3 == rel[:, :, None]).astype(compute_dtype)
+        out_ref[0, g * qb * k:(g + 1) * qb * k, :] = jax.lax.dot_general(
+            oh.reshape(qb * k, table), tab,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=prec,
+            preferred_element_type=jnp.float32)  # [qb*k, C]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
@@ -372,24 +397,30 @@ def _gather_fwd_impl(values, seg_ids, rel, seg, qblock, compute_dtype,
                                        else 4)
     if (qblock < 128 and s * seg % 128 == 0 and (qblock * k) % 8 == 0 and
             oh_bytes <= 4 * 1024 * 1024):
+        # group consecutive blocks into one grid step up to 128 query
+        # rows: narrow per-sub-block tables at coarse grid overhead (see
+        # _gather_flat_kernel)
+        group = min(128 // qblock, max(1, 64 // s))  # <= 64 seg operands
+        while group > 1 and nqb % group:
+            group //= 2
         kern = functools.partial(_gather_flat_kernel, k=k, s=s, c=c,
-                                 compute_dtype=compute_dtype)
+                                 compute_dtype=compute_dtype, group=group)
         out = pl.pallas_call(
             kern,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
-                grid=(b, nqb),
-                in_specs=[pl.BlockSpec((1, qblock, k),
+                grid=(b, nqb // group),
+                in_specs=[pl.BlockSpec((1, qblock * group, k),
                                        lambda ib, iq, sref: (ib, iq, 0),
                                        memory_space=pltpu.VMEM)] +
-                _seg_specs(s, seg, c),
-                out_specs=pl.BlockSpec((1, qblock * k, c),
+                _seg_specs(s * group, seg, c),
+                out_specs=pl.BlockSpec((1, qblock * group * k, c),
                                        lambda ib, iq, sref: (ib, iq, 0),
                                        memory_space=pltpu.VMEM)),
             out_shape=jax.ShapeDtypeStruct((b, (q + qpad) * k, c),
                                            jnp.float32),
             interpret=interpret,
-        )(seg_ids_flat, relp, *([values] * s))
+        )(seg_ids_flat, relp, *([values] * s * group))
         return out.reshape(b, q + qpad, k, c)[:, :q]
 
     kern = functools.partial(_gather_kernel, k=k, s=s, c=c,
@@ -441,22 +472,26 @@ def _gather_bwd_kernel(rel_ref, g_ref, out_ref, *, k, c, table,
 
 
 def _gather_bwd_flat_kernel(rel_ref, g_ref, out_ref, *, k, c, table,
-                            compute_dtype):
+                            compute_dtype, group=1):
     """Flattened backward: ONE [qb*k, table]^T x [qb*k, C] matmul per block
     (contraction dim qb*k fills the MXU even at small qblock). g is shipped
-    pre-reshaped to [Qpad*k, C] rows (query-major, k-minor)."""
-    rel = rel_ref[0]                                   # [qb, K]
-    qb = rel.shape[0]
-    iota3 = jax.lax.broadcasted_iota(jnp.int32, (qb, k, table), 2)
-    oh = (iota3 == rel[:, :, None]).astype(compute_dtype)
+    pre-reshaped to [Qpad*k, C] rows (query-major, k-minor). group > 1
+    mirrors the forward's grouped-table stepping."""
+    relall = rel_ref[0]                                # [qb*group, K]
+    qb = relall.shape[0] // group
+    gall = g_ref[0]                                    # [qb*group*k, C]
     prec = (jax.lax.Precision.HIGHEST
             if compute_dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
-    gk = g_ref[0].astype(compute_dtype)                # [qb*k, C]
-    out_ref[0] = jax.lax.dot_general(
-        oh.reshape(qb * k, table), gk,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        precision=prec,
-        preferred_element_type=jnp.float32)            # [table, C]
+    for g in range(group):
+        rel = relall[g * qb:(g + 1) * qb]
+        iota3 = jax.lax.broadcasted_iota(jnp.int32, (qb, k, table), 2)
+        oh = (iota3 == rel[:, :, None]).astype(compute_dtype)
+        gk = gall[g * qb * k:(g + 1) * qb * k].astype(compute_dtype)
+        out_ref[0, g * table:(g + 1) * table, :] = jax.lax.dot_general(
+            oh.reshape(qb * k, table), gk,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=prec,
+            preferred_element_type=jnp.float32)        # [table, C]
 
 
 def _gather_bwd(seg, qblock, compute_dtype, interpret, res, g):
@@ -492,21 +527,27 @@ def _gather_bwd(seg, qblock, compute_dtype, interpret, res, g):
     oh_bytes = qblock * k * table * (2 if compute_dtype == jnp.bfloat16
                                      else 4)
     if qblock < 128 and oh_bytes <= 4 * 1024 * 1024:
+        group = min(128 // qblock, max(1, 64 // s))  # mirror the forward
+        while group > 1 and nqb % group:
+            group //= 2
         gp = g.reshape(b, q * k, c)
         if qpad:  # padded queries contribute zero
             gp = jnp.pad(gp, ((0, 0), (0, qpad * k), (0, 0)))
         kern = functools.partial(_gather_bwd_flat_kernel, k=k, c=c,
-                                 table=table, compute_dtype=compute_dtype)
+                                 table=table, compute_dtype=compute_dtype,
+                                 group=group)
         partial = pl.pallas_call(
             kern,
-            grid=(b, nqb),
+            grid=(b, nqb // group),
             in_specs=[
-                pl.BlockSpec((1, qblock, k), lambda ib, iq: (ib, iq, 0),
+                pl.BlockSpec((1, qblock * group, k),
+                             lambda ib, iq: (ib, iq, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, qblock * k, c), lambda ib, iq: (ib, iq, 0),
+                pl.BlockSpec((1, qblock * group * k, c),
+                             lambda ib, iq: (ib, iq, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, table, c),
+            out_specs=pl.BlockSpec((1, group * table, c),
                                    lambda ib, iq: (ib, iq, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((b, nqb * table, c),

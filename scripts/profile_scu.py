@@ -49,8 +49,12 @@ def main():
     rec = {"device": str(jax.devices()[0])}
     rng = np.random.default_rng(0)
     n = 65536
-    pts = np.stack([rng.uniform(0, 400, n), rng.uniform(0, 400, n),
-                    rng.uniform(0, 150, n)], 1)
+    # surface-concentrated scene, same construction as bench.py's
+    # child_sparseconvunet (r4 verdict Weak #6)
+    from open3d_ml_tpu.datasets.synthetic import make_semseg_scene
+    pts = make_semseg_scene(n, seed=0)[0].astype(np.float64)
+    pts -= pts.min(0)
+    pts *= min(1000.0 / max(pts.max(), 1e-6), 1.0 / 0.02)
     pts = (pts.astype(np.int32) + 0.5).astype(np.float32)
     pts = jnp.asarray(pts)
     pmask = jnp.ones((n,), bool)

@@ -25,8 +25,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="")
     ap.add_argument("--iters", type=int, default=5)
-    ap.add_argument("--configs", default="64,32,16 64,64,24 64,128,32 "
-                                          "32,32,24 64,16,12 128,32,12")
+    ap.add_argument("--configs", default="64,32,16 64,32,12 64,32,8 "
+                                          "32,32,24 32,32,16 32,32,12 "
+                                          "32,64,16 16,32,24 48,32,12")
     args = ap.parse_args()
 
     import jax
@@ -44,8 +45,12 @@ def main():
 
     n = base_cfg["num_points"]
     rng = np.random.default_rng(0)
-    pts = np.stack([rng.uniform(0, 400, n), rng.uniform(0, 400, n),
-                    rng.uniform(0, 150, n)], 1)
+    # surface-concentrated scene, same construction as bench.py's
+    # child_sparseconvunet (r4 verdict Weak #6)
+    from open3d_ml_tpu.datasets.synthetic import make_semseg_scene
+    pts = make_semseg_scene(n, seed=0)[0].astype(np.float64)
+    pts -= pts.min(0)
+    pts *= min(1000.0 / max(pts.max(), 1e-6), 1.0 / 0.02)
     pts = (pts.astype(np.int32) + 0.5).astype(np.float32)
     batch = {
         "point": jnp.asarray(pts[None]),
