@@ -26,9 +26,11 @@ from ..modules.losses import filter_valid_label
 from ..ops.sparse import (SiteHash, apply_sparse_conv,
                           apply_sparse_conv_transpose, build_rulebook,
                           downsample_sites, kernel_offsets)
-from ..ops.sparse_bucket import (BucketCtx, bucket_downsample, gather_taps,
-                                 match_stencil, rank_site_segments,
-                                 sort_sites, support_points)
+from ..ops.pallas.stencil import stencil_conv_pallas, stencil_match_pallas
+from ..ops.sparse_bucket import (BucketCtx, StencilCtx, bucket_downsample,
+                                 gather_taps, match_stencil,
+                                 rank_site_segments, sort_sites,
+                                 stencil_query_keys, support_points)
 from ..ops.voxelize import voxelize
 from ..utils import MODEL
 from .base_model import BaseModel
@@ -81,6 +83,19 @@ class SubmanifoldConv(nn.Module):
 
     @nn.compact
     def __call__(self, feat, ctx, mask):
+        if isinstance(ctx, StencilCtx):
+            k = ctx.qkeys.shape[-1]
+            cin = feat.shape[-1]
+            w = self.param(
+                "kernel",
+                nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
+                (k, cin, self.filters))
+            cdt = jnp.dtype(self.compute_dtype) if self.compute_dtype \
+                else jnp.float32
+            out = stencil_conv_pallas(feat, ctx.keys, ctx.qkeys,
+                                      ctx.seg_ids, w, ctx.seg, ctx.qblock,
+                                      cdt, ctx.interpret)
+            return jnp.where(mask[..., None], out, 0.0)
         if isinstance(ctx, BucketCtx):
             k = ctx.rel.shape[-1]
             cin = feat.shape[-1]
@@ -208,6 +223,12 @@ class SparseConvUnetNet(nn.Module):
     bucket_seg: int = 64     # sites per Morton segment
     bucket_qblock: int = 32  # sites per query block (one candidate table)
     bucket_segs: int = 16    # candidate segments kept per block (S)
+    # Fused stencil convolutions (ops/pallas/stencil.py): match + gather +
+    # GEMM in ONE kernel keyed on Morton-key equality — deletes the
+    # knn-based match stage and the [V, K, C] HBM intermediate. Same math
+    # as the unfused bucket path (same tables, same exactness certificate);
+    # False falls back to the match_stencil + gather_taps composition.
+    bucket_fused: bool = True
 
     @nn.compact
     def __call__(self, inputs, training=False):
@@ -420,20 +441,30 @@ class SparseConvUnetNet(nn.Module):
 
         feat = jax.vmap(mean_one)(feat_in, point_site, valid_pt)
 
-        def make_sub_ctx(coords, mask, nv):
+        def pad_keys(k):
+            p = (-k.shape[1]) % seg
+            return jnp.pad(k, ((0, 0), (0, p)),
+                           constant_values=jnp.iinfo(jnp.int32).max) \
+                if p else k
+
+        def make_sub_ctx(coords, mask, nv, mkey):
             sup = support_points(coords, mask, seg)
             seg_ids, ovf = rank_site_segments(
                 sup, nv, coords.astype(jnp.float32), nv, seg=seg,
                 qblock=qblock, num_segs=s_cand, reach=1.74)
+            table_ovf.append(ovf)
+            if self.bucket_fused:
+                qkeys = stencil_query_keys(coords, mask, offs27)
+                return StencilCtx(seg_ids, qkeys, pad_keys(mkey), seg,
+                                  qblock, interpret)
             sites_q = jnp.where(mask[..., None],
                                 coords.astype(jnp.float32), 2e9)
             rel, found = match_stencil(sup, sites_q, offs27, seg_ids,
                                        seg=seg, qblock=qblock,
                                        interpret=interpret)
-            table_ovf.append(ovf)
             return BucketCtx(seg_ids, rel, found, seg, qblock, interpret)
 
-        ctx0 = make_sub_ctx(coords, mask, nvalid)
+        ctx0 = make_sub_ctx(coords, mask, nvalid, mkey)
         feat = SubmanifoldConv(m, compute_dtype=cdt,
                                name="input_conv")(feat, ctx0, mask)
 
@@ -470,23 +501,34 @@ class SparseConvUnetNet(nn.Module):
                 sup_f, nv, pq, npar, seg=seg, qblock=qblock,
                 num_segs=s_cand, reach=1.74)
             table_ovf.append(ovf_d)
-            rel_d, found_d = match_stencil(sup_f, pq, offs8, seg_ids_d,
-                                           seg=seg, qblock=qblock,
-                                           interpret=interpret)
-            ctx_d = BucketCtx(seg_ids_d, rel_d, found_d, seg, qblock,
-                              interpret)
             cin = x.shape[-1]
             w_down = self.param(f"l{level}_down_kernel", winit,
                                 (8, cin, planes[level + 1]))
-            g = gather_taps(x, ctx_d, compute_dtype=cdt)
-            x_down = jax.lax.dot_general(
-                g.reshape(b, dcap, 8 * cin).astype(gd),
-                w_down.reshape(8 * cin, planes[level + 1]).astype(gd),
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            if self.bucket_fused:
+                # child code == tap index for offs8's x-fastest {0,1}^3
+                # order (code = z*4 + y*2 + x), so tap k of parent p keys
+                # to (pkey << 3) | k — no coordinate math, no match stage
+                child = jnp.arange(8, dtype=jnp.int32)
+                qkeys_d = jnp.where(pmask_l[..., None],
+                                    (pkey[..., None] << 3) | child, -1)
+                x_down = stencil_conv_pallas(
+                    x, pad_keys(mkey), qkeys_d, seg_ids_d, w_down, seg,
+                    qblock, gd, interpret)
+            else:
+                rel_d, found_d = match_stencil(sup_f, pq, offs8, seg_ids_d,
+                                               seg=seg, qblock=qblock,
+                                               interpret=interpret)
+                ctx_d = BucketCtx(seg_ids_d, rel_d, found_d, seg, qblock,
+                                  interpret)
+                g = gather_taps(x, ctx_d, compute_dtype=cdt)
+                x_down = jax.lax.dot_general(
+                    g.reshape(b, dcap, 8 * cin).astype(gd),
+                    w_down.reshape(8 * cin, planes[level + 1]).astype(gd),
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
             x_down = jnp.where(pmask_l[..., None], x_down, 0.0)
 
-            ctx_p = make_sub_ctx(pcoords, pmask_l, npar)
+            ctx_p = make_sub_ctx(pcoords, pmask_l, npar, pkey)
             x_deep = u_level(level + 1, x_down, pcoords, pmask_l, npar,
                              pkey, ctx_p)
 
@@ -505,19 +547,32 @@ class SparseConvUnetNet(nn.Module):
                 supp, npar, fq, nv, seg=seg, qblock=up_qb,
                 num_segs=s_cand, reach=0.1)
             table_ovf.append(ovf_u)
-            rel_u, found_u = match_stencil(
-                supp, fq, np.zeros((1, 3), np.int32), seg_ids_u, seg=seg,
-                qblock=up_qb, interpret=interpret)
-            ctx_u = BucketCtx(seg_ids_u, rel_u, found_u, seg, up_qb,
-                              interpret)
             w_up = self.param(f"l{level}_up_kernel", winit,
                               (8, planes[level + 1], p))
-            y_par = gather_taps(y, ctx_u, compute_dtype=cdt)[..., 0, :]
-            outs = jnp.einsum("bvc,kco->bvko", y_par.astype(gd),
-                              w_up.astype(gd),
-                              preferred_element_type=jnp.float32)
-            sel = jax.nn.one_hot(off_idx, 8, dtype=outs.dtype)
-            y_up = jnp.einsum("bvko,bvk->bvo", outs, sel)
+            if self.bucket_fused:
+                # tap k carries the parent key only when the fine site's
+                # child code (mkey & 7 == off_idx) is k, so the fused conv
+                # computes y[parent] @ w_up[code] — the gather, the 8-way
+                # einsum, and the one-hot select in one kernel
+                child = jnp.arange(8, dtype=jnp.int32)
+                qkeys_u = jnp.where(
+                    mask[..., None] & (off_idx[..., None] == child),
+                    (mkey >> 3)[..., None], -1)
+                y_up = stencil_conv_pallas(
+                    y, pad_keys(pkey), qkeys_u, seg_ids_u, w_up, seg,
+                    up_qb, gd, interpret)
+            else:
+                rel_u, found_u = match_stencil(
+                    supp, fq, np.zeros((1, 3), np.int32), seg_ids_u,
+                    seg=seg, qblock=up_qb, interpret=interpret)
+                ctx_u = BucketCtx(seg_ids_u, rel_u, found_u, seg, up_qb,
+                                  interpret)
+                y_par = gather_taps(y, ctx_u, compute_dtype=cdt)[..., 0, :]
+                outs = jnp.einsum("bvc,kco->bvko", y_par.astype(gd),
+                                  w_up.astype(gd),
+                                  preferred_element_type=jnp.float32)
+                sel = jax.nn.one_hot(off_idx, 8, dtype=outs.dtype)
+                y_up = jnp.einsum("bvko,bvk->bvo", outs, sel)
             y_up = jnp.where(mask[..., None], y_up, 0.0)
 
             z = jnp.concatenate([feat, y_up], axis=-1)

@@ -198,6 +198,30 @@ class BucketCtx(NamedTuple):
     interpret: bool = False
 
 
+class StencilCtx(NamedTuple):
+    """Per-level conv context for the FUSED kernel path
+    (ops/pallas/stencil.stencil_conv_pallas): no precomputed rulebook —
+    the kernel matches per-tap Morton query keys against the table rows'
+    keys inline, so the context carries keys instead of (rel, found)."""
+    seg_ids: Any  # [B, nqb, S]
+    qkeys: Any    # [B, Q, K] int32 per-tap query keys (misses -1)
+    keys: Any     # [B, V] int32 support Morton keys (invalid INT32_MAX)
+    seg: int
+    qblock: int
+    interpret: bool = False
+
+
+def stencil_query_keys(coords, mask, stencil):
+    """Per-tap Morton query keys for an integer stencil: [B, V, 3] int32
+    sites + [K, 3] offsets -> [B, V, K] int32 keys; taps that cannot exist
+    (invalid site, target outside the 1024^3 domain) become -1, which can
+    never equal a valid key (>= 0) or a pad row's INT32_MAX."""
+    offs = jnp.asarray(stencil, jnp.int32)
+    q = coords[:, :, None, :] + offs[None, None]  # [B, V, K, 3]
+    k = morton_key_int(q, jnp.broadcast_to(mask[:, :, None], q.shape[:-1]))
+    return jnp.where(k == _I32MAX, -1, k)
+
+
 def bucket_downsample(coords, mask, mkey, cap):
     """Stride-2 parents of Morton-sorted sites, staying Morton-sorted.
 

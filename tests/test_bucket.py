@@ -493,3 +493,168 @@ class TestHilbertCurve:
                         assert np.isin(gnew[i], tbl).all(), (b, i)
             keep_rates[oq] = np.mean(same_all)
         assert keep_rates[gq] > keep_rates[0], keep_rates
+
+
+class TestStencilConv:
+    """The fused stencil-conv kernel (ops/pallas/stencil.py) vs the
+    match_stencil + gather_taps + GEMM composition it replaces."""
+
+    def _scene(self, b=2, cap=256, box=24, seed=0):
+        from open3d_ml_tpu.ops.sparse_bucket import sort_sites
+        rng = np.random.default_rng(seed)
+        coords = np.zeros((b, cap, 3), np.int32)
+        mask = np.zeros((b, cap), bool)
+        for i in range(b):
+            c = np.unique(rng.integers(0, box, (cap * 2, 3)), axis=0)
+            rng.shuffle(c)
+            n = min(len(c), cap - 7 + i)  # uneven valid counts
+            coords[i, :n] = c[:n]
+            mask[i, :n] = True
+        return sort_sites(jnp.asarray(coords), jnp.asarray(mask))
+
+    def _tables(self, coords, mask, seg, qblock, stencil_reach=1.74):
+        from open3d_ml_tpu.ops.sparse_bucket import (rank_site_segments,
+                                                     support_points)
+        nv = jnp.sum(mask, axis=1).astype(jnp.int32)
+        sup = support_points(coords, mask, seg)
+        sites_q = jnp.where(mask[..., None], coords.astype(jnp.float32),
+                            2e9)
+        nseg = sup.shape[1] // seg
+        seg_ids, ovf = rank_site_segments(sup, nv, sites_q, nv, seg=seg,
+                                          qblock=qblock, num_segs=nseg,
+                                          reach=stencil_reach)
+        assert int(jnp.sum(ovf)) == 0  # tables provably exact
+        return sup, sites_q, seg_ids, nv
+
+    def test_match_equals_distance_rulebook(self):
+        from open3d_ml_tpu.models.sparseconvunet import kernel_offsets
+        from open3d_ml_tpu.ops.pallas.stencil import stencil_match_pallas
+        from open3d_ml_tpu.ops.sparse_bucket import (match_stencil,
+                                                     stencil_query_keys)
+        seg, qblock = 32, 16
+        coords, mask, mkey, _ = self._scene()
+        sup, sites_q, seg_ids, _ = self._tables(coords, mask, seg, qblock)
+        offs = kernel_offsets(3, centered=True)
+        rel_d, fnd_d = match_stencil(sup, sites_q, offs, seg_ids, seg=seg,
+                                     qblock=qblock, interpret=True)
+        qkeys = stencil_query_keys(coords, mask, offs)
+        kys = jnp.pad(mkey, ((0, 0), (0, (-mkey.shape[1]) % seg)),
+                      constant_values=np.iinfo(np.int32).max)
+        rel_k, fnd_k = stencil_match_pallas(kys, qkeys, seg_ids, seg=seg,
+                                            qblock=qblock, interpret=True)
+        fnd_d, fnd_k = np.asarray(fnd_d), np.asarray(fnd_k)
+        valid = np.asarray(mask)[:, :, None] & np.ones_like(fnd_d)
+        assert (fnd_d == fnd_k)[valid].all()
+        hit = fnd_d & valid
+        assert (np.asarray(rel_d) == np.asarray(rel_k))[hit].all()
+
+    def test_conv_equals_gather_gemm(self):
+        from open3d_ml_tpu.models.sparseconvunet import kernel_offsets
+        from open3d_ml_tpu.ops.pallas.stencil import stencil_conv_pallas
+        from open3d_ml_tpu.ops.sparse_bucket import (BucketCtx, gather_taps,
+                                                     match_stencil,
+                                                     stencil_query_keys)
+        seg, qblock, cin, cout = 32, 16, 8, 12
+        rng = np.random.default_rng(1)
+        coords, mask, mkey, _ = self._scene(seed=1)
+        b, cap = mask.shape
+        sup, sites_q, seg_ids, _ = self._tables(coords, mask, seg, qblock)
+        offs = kernel_offsets(3, centered=True)
+        k = offs.shape[0]
+        values = jnp.asarray(rng.normal(size=(b, cap, cin)), jnp.float32)
+        values = values * mask[..., None]
+        w = jnp.asarray(rng.normal(size=(k, cin, cout)) * 0.1, jnp.float32)
+
+        rel, fnd = match_stencil(sup, sites_q, offs, seg_ids, seg=seg,
+                                 qblock=qblock, interpret=True)
+        ctx = BucketCtx(seg_ids, rel, fnd, seg, qblock, True)
+        g = gather_taps(values, ctx)
+        ref = jnp.einsum("bqkc,kco->bqo", g, w)
+
+        qkeys = stencil_query_keys(coords, mask, offs)
+        out = stencil_conv_pallas(values, mkey, qkeys, seg_ids, w, seg,
+                                  qblock, jnp.float32, True)
+        np.testing.assert_allclose(np.asarray(out)[np.asarray(mask)],
+                                   np.asarray(ref)[np.asarray(mask)],
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_conv_grads_match_reference(self):
+        from open3d_ml_tpu.models.sparseconvunet import kernel_offsets
+        from open3d_ml_tpu.ops.pallas.stencil import stencil_conv_pallas
+        from open3d_ml_tpu.ops.sparse_bucket import (BucketCtx, gather_taps,
+                                                     match_stencil,
+                                                     stencil_query_keys)
+        seg, qblock, cin, cout = 32, 16, 4, 6
+        rng = np.random.default_rng(2)
+        coords, mask, mkey, _ = self._scene(b=1, cap=128, box=12, seed=2)
+        b, cap = mask.shape
+        sup, sites_q, seg_ids, _ = self._tables(coords, mask, seg, qblock)
+        offs = kernel_offsets(3, centered=True)
+        k = offs.shape[0]
+        values = jnp.asarray(rng.normal(size=(b, cap, cin)), jnp.float32)
+        values = values * mask[..., None]
+        w = jnp.asarray(rng.normal(size=(k, cin, cout)) * 0.1, jnp.float32)
+        cot = jnp.asarray(rng.normal(size=(b, cap, cout)), jnp.float32)
+        cot = cot * mask[..., None]
+
+        rel, fnd = match_stencil(sup, sites_q, offs, seg_ids, seg=seg,
+                                 qblock=qblock, interpret=True)
+        ctx = BucketCtx(seg_ids, rel, fnd, seg, qblock, True)
+
+        def f_ref(v, ww):
+            g = gather_taps(v, ctx)
+            return jnp.sum(jnp.einsum("bqkc,kco->bqo", g, ww) * cot)
+
+        qkeys = stencil_query_keys(coords, mask, offs)
+
+        def f_fused(v, ww):
+            out = stencil_conv_pallas(v, mkey, qkeys, seg_ids, ww, seg,
+                                      qblock, jnp.float32, True)
+            return jnp.sum(out * cot)
+
+        gv_r, gw_r = jax.grad(f_ref, (0, 1))(values, w)
+        gv_f, gw_f = jax.grad(f_fused, (0, 1))(values, w)
+        np.testing.assert_allclose(np.asarray(gv_f), np.asarray(gv_r),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_r),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_downconv_child_keys(self):
+        """Stride-2 down-conv taps via (parent_key << 3) | child_code match
+        the distance rulebook on the fine sites."""
+        from open3d_ml_tpu.models.sparseconvunet import kernel_offsets
+        from open3d_ml_tpu.ops.pallas.stencil import stencil_match_pallas
+        from open3d_ml_tpu.ops.sparse_bucket import (bucket_downsample,
+                                                     match_stencil,
+                                                     rank_site_segments,
+                                                     support_points)
+        seg, qblock = 32, 16
+        coords, mask, mkey, _ = self._scene(seed=3)
+        nv = jnp.sum(mask, axis=1).astype(jnp.int32)
+        dcap = 128
+        pcoords, pmask, pkey, _, _ = bucket_downsample(coords, mask, mkey,
+                                                       dcap)
+        npar = jnp.sum(pmask, axis=1).astype(jnp.int32)
+        sup = support_points(coords, mask, seg)
+        pq = jnp.where(pmask[..., None], (pcoords * 2).astype(jnp.float32),
+                       2e9)
+        nseg = sup.shape[1] // seg
+        seg_ids, ovf = rank_site_segments(sup, nv, pq, npar, seg=seg,
+                                          qblock=qblock, num_segs=nseg,
+                                          reach=1.74)
+        assert int(jnp.sum(ovf)) == 0
+        offs8 = kernel_offsets(2, centered=False)
+        rel_d, fnd_d = match_stencil(sup, pq, offs8, seg_ids, seg=seg,
+                                     qblock=qblock, interpret=True)
+        child = jnp.arange(8, dtype=jnp.int32)
+        qkeys = jnp.where(pmask[..., None], (pkey[..., None] << 3) | child,
+                          -1)
+        kys = jnp.pad(mkey, ((0, 0), (0, (-mkey.shape[1]) % seg)),
+                      constant_values=np.iinfo(np.int32).max)
+        rel_k, fnd_k = stencil_match_pallas(kys, qkeys, seg_ids, seg=seg,
+                                            qblock=qblock, interpret=True)
+        valid = np.asarray(pmask)[:, :, None] & np.ones_like(
+            np.asarray(fnd_d))
+        assert (np.asarray(fnd_d) == np.asarray(fnd_k))[valid].all()
+        hit = np.asarray(fnd_d) & valid
+        assert (np.asarray(rel_d) == np.asarray(rel_k))[hit].all()
