@@ -111,6 +111,8 @@ def _knn_config_string(cfg):
         s += f" GQ{cfg.gather_qblock}"
     if getattr(cfg, "up_segs", 0):
         s += f" U{cfg.up_segs}"
+    if getattr(cfg, "up_mode", "search") == "derive":
+        s += " D"
     return s
 
 

@@ -467,20 +467,22 @@ class RandLANet(BaseModel):
                  knn_on_device=True,
                  knn_method="fused",
                  grid_cells=None,
-                 # Fused-KNN table budget: the ACCURACY_r03_hilbert.json
-                 # study's accuracy-neutral winner (seg64/qb128/S64/G32,
-                 # measured delta -0.03 mIoU vs the exact path on a trained
-                 # 64-mIoU model at this patch scale). Shrinking num_segs /
-                 # gather_segs below the studied values costs real mIoU
-                 # (S=8 measured -29.5; G16 measured +5.1) — see
-                 # docs/accuracy.md before touching these.
+                 # Fused-KNN table budget: the ACCURACY_r05_flagship.json
+                 # study's winner (seg64/qb128/S48/G24 + derived up tables,
+                 # measured delta -2.39 mIoU vs the exact path — i.e. the
+                 # fused eval BEAT exact — on a model TRAINED through the
+                 # fused path at production scale; the r3 study's
+                 # exact-trained winner S64/G32 measured -0.03). Shrinking
+                 # far below the studied values costs real mIoU (S=8
+                 # measured +29.5 worse; G16 +5.1 worse on the r3 model) —
+                 # see docs/accuracy.md before touching these.
                  seg=64,
                  block=128,
-                 num_segs=64,
-                 gather_segs=32,
+                 num_segs=48,
+                 gather_segs=24,
                  gather_qblock=0,
                  up_segs=0,
-                 up_mode="search",
+                 up_mode="derive",
                  presorted=False,
                  compute_dtype="bfloat16",
                  augment={},
