@@ -619,6 +619,64 @@ class TestStencilConv:
         np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_r),
                                    rtol=1e-5, atol=1e-5)
 
+    def test_mosaic_interpret_stencil_tiny(self, monkeypatch):
+        """True Mosaic interpreter on a tiny scene: fused kernel == XLA
+        twin for match, conv forward, and conv gradients."""
+        from open3d_ml_tpu.models.sparseconvunet import kernel_offsets
+        from open3d_ml_tpu.ops.pallas import stencil as ps
+        from open3d_ml_tpu.ops.sparse_bucket import stencil_query_keys
+        seg, qblock, cin, cout = 16, 8, 4, 8
+        rng = np.random.default_rng(7)
+        coords, mask, mkey, _ = self._scene(b=1, cap=64, box=8, seed=7)
+        sup, sites_q, seg_ids, _ = self._tables(coords, mask, seg, qblock)
+        offs = kernel_offsets(3, centered=True)
+        k = offs.shape[0]
+        b, cap = mask.shape
+        values = jnp.asarray(rng.standard_normal((b, cap, cin)),
+                             jnp.float32) * mask[..., None]
+        w = jnp.asarray(rng.standard_normal((k, cin, cout)) * 0.1,
+                        jnp.float32)
+        qkeys = stencil_query_keys(coords, mask, offs)
+        cot = jnp.asarray(rng.standard_normal((b, cap, cout)),
+                          jnp.float32) * mask[..., None]
+
+        def run(interp_kernel, fn):
+            monkeypatch.setattr(ps, "_INTERPRET_KERNEL", interp_kernel)
+            jax.clear_caches()
+            return fn()
+
+        def match():
+            return ps.stencil_match_pallas(mkey, qkeys, seg_ids, seg=seg,
+                                           qblock=qblock, interpret=True)
+
+        rel_t, fnd_t = run(False, match)
+        rel_k, fnd_k = run(True, match)
+        valid = np.asarray(mask)[:, :, None] & np.ones_like(
+            np.asarray(fnd_t))
+        assert (np.asarray(fnd_t) == np.asarray(fnd_k))[valid].all()
+        hit = np.asarray(fnd_t) & valid
+        assert (np.asarray(rel_t) == np.asarray(rel_k))[hit].all()
+
+        def conv(v, ww):
+            return ps.stencil_conv_pallas(v, mkey, qkeys, seg_ids, ww,
+                                          seg, qblock, jnp.float32, True)
+
+        out_t = run(False, lambda: conv(values, w))
+        out_k = run(True, lambda: conv(values, w))
+        np.testing.assert_allclose(np.asarray(out_k)[np.asarray(mask)],
+                                   np.asarray(out_t)[np.asarray(mask)],
+                                   rtol=1e-5, atol=1e-5)
+
+        def loss(v, ww):
+            return jnp.sum(conv(v, ww) * cot)
+
+        gv_t, gw_t = run(False, lambda: jax.grad(loss, (0, 1))(values, w))
+        gv_k, gw_k = run(True, lambda: jax.grad(loss, (0, 1))(values, w))
+        np.testing.assert_allclose(np.asarray(gv_k), np.asarray(gv_t),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gw_k), np.asarray(gw_t),
+                                   rtol=1e-4, atol=1e-4)
+
     def test_downconv_child_keys(self):
         """Stride-2 down-conv taps via (parent_key << 3) | child_code match
         the distance rulebook on the fine sites."""
