@@ -702,6 +702,7 @@ class SparseConvUnet(BaseModel):
             bucket_seg=cfg.get("bucket_seg", 64),
             bucket_qblock=cfg.get("bucket_qblock", 32),
             bucket_segs=cfg.get("bucket_segs", 16),
+            bucket_fused=cfg.get("bucket_fused", True),
             warn_on_overflow=cfg.get("warn_on_overflow", True)))
 
     def get_eval_net(self):
