@@ -222,6 +222,8 @@ def main():
           f"({train_time:.0f}s)", flush=True)
 
     record = {
+        "delta_convention": "delta_vs_exact_pts = exact_mIoU - variant_mIoU"
+                            " (positive = variant worse than exact)",
         "model": args.model,
         "scale": args.scale,
         "train_knn": args.train_knn,
