@@ -110,6 +110,10 @@ def main():
                     metavar="SEG,QBLOCK,S[,G[,U[,GQ]]]",
                     help="fused budget for --train-knn fused (default: "
                          "the shipped seg64/qb128/S64/G32 config)")
+    ap.add_argument("--exact-miou", type=float, default=None,
+                    help="skip the (slow) exact eval and compute deltas "
+                         "against this previously measured exact mIoU "
+                         "(0-100 scale), e.g. from an earlier study JSON")
     ap.add_argument("--model", choices=["randlanet", "pointtransformer"],
                     default="randlanet",
                     help="model under study; pointtransformer uses a "
@@ -247,6 +251,14 @@ def main():
     else:
         configs = [("exact", None)] + [("fused", s) for s in args.num_segs]
     exact_miou = None
+    if args.exact_miou is not None:
+        exact_miou = args.exact_miou / 100.0
+        configs = [c for c in configs if c[0] != "exact"]
+        record["evals"]["exact"] = {
+            "miou": args.exact_miou,
+            "delta_vs_exact_pts": 0.0,
+            "note": "carried from a previous study via --exact-miou",
+        }
     for method, segs in configs:
         model.cfg.cfg_dict["eval_knn_method"] = method
         if isinstance(segs, dict):
