@@ -110,6 +110,9 @@ def main():
                     metavar="SEG,QBLOCK,S[,G[,U[,GQ]]]",
                     help="fused budget for --train-knn fused (default: "
                          "the shipped seg64/qb128/S64/G32 config)")
+    ap.add_argument("--test-clouds", type=int, default=4,
+                    help="number of held-out test clouds to evaluate "
+                         "(fewer = faster exact eval on slow exact paths)")
     ap.add_argument("--exact-miou", type=float, default=None,
                     help="skip the (slow) exact eval and compute deltas "
                          "against this previously measured exact mIoU "
@@ -140,7 +143,8 @@ def main():
     dataset = SyntheticShapes(
         num_points_per_cloud=p["cloud_points"],
         num_clouds={"training": p["num_clouds_train"],
-                    "validation": p["batch_size"], "test": 4},
+                    "validation": p["batch_size"],
+                    "test": args.test_clouds},
         use_cache=True,
         cache_dir=join(args.logdir, "cache"),
         steps_per_epoch_train=p["steps_per_epoch"],
