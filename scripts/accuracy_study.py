@@ -113,6 +113,8 @@ def main():
     ap.add_argument("--test-clouds", type=int, default=4,
                     help="number of held-out test clouds to evaluate "
                          "(fewer = faster exact eval on slow exact paths)")
+    ap.add_argument("--exact-last", action="store_true",
+                    help="run the (slow) exact eval after the fused ones")
     ap.add_argument("--exact-miou", type=float, default=None,
                     help="skip the (slow) exact eval and compute deltas "
                          "against this previously measured exact mIoU "
@@ -254,6 +256,11 @@ def main():
                                        for t in args.fused]
     else:
         configs = [("exact", None)] + [("fused", s) for s in args.num_segs]
+    if args.exact_last:
+        # bank the fast fused evals first; a timeout mid-exact still
+        # leaves their mIoUs in the incremental JSON (deltas backfill
+        # below once exact lands)
+        configs = configs[1:] + configs[:1]
     exact_miou = None
     if args.exact_miou is not None:
         exact_miou = args.exact_miou / 100.0
@@ -317,9 +324,19 @@ def main():
         }
         print(f"eval[{key}] mIoU={100*miou:.2f} "
               f"delta={delta}", flush=True)
+        # write incrementally: a timeout mid-sweep keeps finished evals
+        with open(args.out, "w") as f:
+            json.dump(record, f, indent=1)
 
-    with open(args.out, "w") as f:
-        json.dump(record, f, indent=1)
+    if exact_miou is not None:
+        # backfill deltas for evals that ran before exact (--exact-last)
+        for key, ev in record["evals"].items():
+            if ev.get("delta_vs_exact_pts") is None:
+                ev["delta_vs_exact_pts"] = round(
+                    100 * exact_miou - ev["miou"], 2)
+        with open(args.out, "w") as f:
+            json.dump(record, f, indent=1)
+
     print(json.dumps({k: v["miou"] for k, v in record["evals"].items()}))
     print(f"wrote {args.out}")
 
