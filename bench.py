@@ -113,6 +113,10 @@ def _knn_config_string(cfg):
         s += f" U{cfg.up_segs}"
     if getattr(cfg, "up_mode", "search") == "derive":
         s += " D"
+    if getattr(cfg, "infer_num_segs", 0) or getattr(cfg, "infer_gather_segs",
+                                                    0):
+        s += (f" infer:S{cfg.infer_num_segs or cfg.num_segs}"
+              f"_G{cfg.infer_gather_segs or getattr(cfg, 'gather_segs', 0)}")
     return s
 
 
@@ -576,11 +580,16 @@ def child_stages():
 
     model, batch_size = _flagship_model()
     cfg = model.cfg
+    # profile the INFERENCE-phase budget — the one the randlanet metric
+    # rides (training=False picks infer_num_segs/infer_gather_segs)
     st = stage_times(b=batch_size, n=cfg.num_points,
                      k=cfg.num_neighbors,
                      ratios=tuple(cfg.sub_sampling_ratio), seg=cfg.seg,
-                     qblock=cfg.block, num_segs=cfg.num_segs,
-                     gather_segs=cfg.gather_segs,
+                     qblock=cfg.block,
+                     num_segs=getattr(cfg, "infer_num_segs", 0) or
+                     cfg.num_segs,
+                     gather_segs=getattr(cfg, "infer_gather_segs", 0) or
+                     cfg.gather_segs,
                      up_segs=getattr(cfg, "up_segs", 0),
                      up_mode=getattr(cfg, "up_mode", "search"), iters=5)
     return {f"stage_{k2}": v for k2, v in st.items()

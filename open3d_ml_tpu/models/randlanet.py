@@ -274,11 +274,19 @@ class RandLANetNet(nn.Module):
     up_segs: int = 0          # fused path: upsample (1-NN) table cap
     up_mode: str = "search"   # fused path: "derive" reads the nearest sub
                               # point off the fine k-NN (no upsample search)
+    # Inference-phase fused table budget (training=False): smaller tables
+    # are safe at inference but can collapse LEARNING when trained
+    # through — measured at production scale (ACCURACY_r05_s48train.json):
+    # training through S32/G16 reaches only 20.5 train mIoU vs 61.7 at
+    # S48/G24, while EVALUATING S32/G16 on S48/G24-trained weights scores
+    # -0.39 mIoU BETTER than the exact path. 0 = same budget as training.
+    infer_num_segs: int = 0
+    infer_gather_segs: int = 0
     presorted: bool = False   # True if the host already curve-sorted
                               # (ops/bucket.morton_sort order, Hilbert)
     compute_dtype: str = "bfloat16"  # fused-path MLP compute dtype
 
-    def _build_levels(self, inputs):
+    def _build_levels(self, inputs, training=True):
         """Returns (levels, perm): per-layer neighbor contexts, plus the
         Morton permutation for the fused path (None otherwise)."""
         if "neighbor_indices" in inputs:
@@ -292,11 +300,16 @@ class RandLANetNet(nn.Module):
         if self.knn_method == "fused":
             from ..ops.bucket import build_bucket_pyramid_tpu
             interpret = jax.default_backend() == "cpu"
+            num_segs = self.num_segs
+            gather_segs = self.gather_segs
+            if not training:
+                num_segs = self.infer_num_segs or num_segs
+                gather_segs = self.infer_gather_segs or gather_segs
             pyr = build_bucket_pyramid_tpu(
                 inputs["coords"], self.num_neighbors,
                 list(self.sub_sampling_ratio), seg=self.seg,
-                qblock=self.block, num_segs=self.num_segs,
-                gather_segs=self.gather_segs, up_segs=self.up_segs,
+                qblock=self.block, num_segs=num_segs,
+                gather_segs=gather_segs, up_segs=self.up_segs,
                 gather_qblock=self.gather_qblock, up_mode=self.up_mode,
                 presorted=self.presorted, interpret=interpret)
             levels = [
@@ -331,7 +344,7 @@ class RandLANetNet(nn.Module):
         cdt = (jnp.bfloat16 if fused_batch and
                self.compute_dtype == "bfloat16" else None)
 
-        levels, perm = self._build_levels(inputs)
+        levels, perm = self._build_levels(inputs, training=training)
         if perm is not None:
             # Morton-sorted execution: permute features into sorted order
             # once (cheap [B, N, C] row gather), un-permute the logits at
@@ -483,6 +496,11 @@ class RandLANet(BaseModel):
                  gather_qblock=0,
                  up_segs=0,
                  up_mode="derive",
+                 # inference-phase (training=False) table budget: the
+                 # S32/G16 transfer measured Δ−0.39 (better than exact) on
+                 # S48/G24-trained weights at 3.0x the throughput
+                 infer_num_segs=32,
+                 infer_gather_segs=16,
                  presorted=False,
                  compute_dtype="bfloat16",
                  augment={},
@@ -510,6 +528,8 @@ class RandLANet(BaseModel):
                          gather_qblock=gather_qblock,
                          up_segs=up_segs,
                          up_mode=up_mode,
+                         infer_num_segs=infer_num_segs,
+                         infer_gather_segs=infer_gather_segs,
                          presorted=presorted,
                          compute_dtype=compute_dtype,
                          augment=augment,
@@ -538,6 +558,8 @@ class RandLANet(BaseModel):
             gather_qblock=getattr(cfg, "gather_qblock", 0),
             up_segs=getattr(cfg, "up_segs", 0),
             up_mode=getattr(cfg, "up_mode", "search"),
+            infer_num_segs=getattr(cfg, "infer_num_segs", 0),
+            infer_gather_segs=getattr(cfg, "infer_gather_segs", 0),
             presorted=cfg.presorted,
             compute_dtype=cfg.compute_dtype)
         return BatchedNet(net=single)
